@@ -1,0 +1,343 @@
+"""LakeTable — a minimal transactional, bucketed parquet table with MERGE.
+
+Why this exists: BASELINE.json mandates "MERGE INTO an Iceberg table keyed
+(conv_id, turn_idx) with last-writer-wins on ts". This sandbox ships no
+iceberg-spark-runtime jar (and no network), so this module provides an
+Iceberg-*shaped* table: an append-only JSON commit log, immutable parquet
+data files hash-bucketed by key, snapshot reads, copy-on-write MERGE at
+bucket granularity, schema evolution (add / rename), and idempotent commits
+keyed by ``batch_id``. The physical plan of ``merge`` is exactly what
+Iceberg's Spark MERGE INTO produces for a bucket-partitioned table:
+scan-affected-buckets ∪ source → shuffle on key → per-key resolve → rewrite
+affected buckets. On a cluster with Iceberg available, ``IngestEngine`` can
+swap this for ``spark.sql("MERGE INTO ...")`` without touching callers.
+
+Scale design (100 TB / 10^10 events):
+- Bucket pruning: a merge touches only buckets present in the source batch —
+  the driver collects *bucket ids* (≤ n_buckets, e.g. 1024), never rows.
+- The per-key LWW resolve is a declarative aggregate (partial agg map-side),
+  so hot conv_ids do not skew the shuffle (see operators/lww.py); AQE
+  additionally splits any residual skewed partitions.
+- Commit metadata (file lists, row counts) is O(files-touched), not O(rows).
+- Atomicity: commits become visible via an O_EXCL create of the next log
+  version — the standard lakehouse commit protocol (Delta/Iceberg use the
+  same rename/put-if-absent primitive on object stores).
+
+Reference parity notes: the reference emits records to Kafka at-least-once
+(docs/source/faq.rst:7-17); this table upgrades that to exactly-once lake
+state via idempotent MERGE + batch_id replay guard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_fs_spark.operators.lww import lww_dedup
+
+_LOG_DIR = "_log"
+_DATA_DIR = "data"
+_TABLE_META = "_table.json"
+_OP_COL = "op"
+_BUCKET_COL = "_bucket"
+LINEAGE_COLS = ("_src_file", "_src_offset")
+
+
+class ConcurrentCommitError(RuntimeError):
+    pass
+
+
+@dataclass
+class Commit:
+    version: int
+    batch_id: str | None
+    added: list[dict]  # [{path, bucket, rows}]
+    removed: list[str]
+    schema_json: str | None
+    renames: dict[str, str] = field(default_factory=dict)
+    app_metadata: dict = field(default_factory=dict)
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(self.__dict__, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Commit":
+        return Commit(**json.loads(s))
+
+
+class LakeTable:
+    """A keyed, bucketed, transactional parquet table supporting MERGE.
+
+    Keys + bucketing spec are fixed at create time (like an Iceberg partition
+    spec); schema may evolve (add columns, rename columns).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        meta_path = os.path.join(root, _TABLE_META)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        self.keys: list[str] = meta["keys"]
+        self.ts_col: str = meta["ts_col"]
+        self.n_buckets: int = meta["n_buckets"]
+
+    # ---------------------------------------------------------------- create
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        keys: Sequence[str],
+        ts_col: str,
+        n_buckets: int = 16,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
+        os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
+        meta_path = os.path.join(root, _TABLE_META)
+        if not os.path.exists(meta_path):
+            tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"keys": list(keys), "ts_col": ts_col, "n_buckets": n_buckets}, f
+                )
+            os.rename(tmp, meta_path)
+        return LakeTable(spark, root)
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, _TABLE_META))
+
+    # ------------------------------------------------------------------ log
+    def _log_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
+
+    def commits(self) -> list[Commit]:
+        d = os.path.join(self.root, _LOG_DIR)
+        out = []
+        for name in sorted(os.listdir(d)):
+            if re.fullmatch(r"\d{20}\.json", name):
+                with open(os.path.join(d, name)) as f:
+                    out.append(Commit.from_json(f.read()))
+        return out
+
+    def latest_version(self) -> int:
+        cs = self.commits()
+        return cs[-1].version if cs else -1
+
+    def get_commit_by_batch_id(self, batch_id: str) -> Commit | None:
+        for c in self.commits():
+            if c.batch_id == batch_id:
+                return c
+        return None
+
+    def _state(self) -> tuple[dict[str, dict], str | None, dict[str, str]]:
+        """Replay the log → (live files by relpath, latest schema json, renames)."""
+        live: dict[str, dict] = {}
+        schema_json: str | None = None
+        renames: dict[str, str] = {}
+        for c in self.commits():
+            for p in c.removed:
+                live.pop(p, None)
+            for a in c.added:
+                live[a["path"]] = a
+            if c.schema_json:
+                schema_json = c.schema_json
+            renames.update(c.renames or {})
+        return live, schema_json, renames
+
+    def _write_commit(self, commit: Commit) -> None:
+        path = self._log_path(commit.version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(commit.to_json())
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            os.unlink(tmp)
+            raise ConcurrentCommitError(f"version {commit.version} already committed")
+        os.close(fd)
+        os.replace(tmp, path)
+
+    # ----------------------------------------------------------------- read
+    def _bucket_expr(self, col: str) -> F.Column:
+        # xxhash64 is a fixed-seed deterministic 64-bit hash (same value on
+        # every executor / run), so bucket assignment is stable across commits.
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+
+    def _read_files(self, relpaths: Sequence[str]) -> DataFrame | None:
+        if not relpaths:
+            return None
+        paths = [os.path.join(self.root, _DATA_DIR, p) for p in relpaths]
+        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        _, _, renames = self._state()
+        for old, new in renames.items():
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        return df
+
+    def snapshot(self) -> DataFrame:
+        """Full table including lineage + bucket columns."""
+        live, schema_json, renames = self._state()
+        df = self._read_files(list(live))
+        if df is not None:
+            return df
+        if schema_json:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+            for old, new in renames.items():
+                if old in schema.fieldNames():
+                    schema[old].name = new  # type: ignore[misc]
+            return self.spark.createDataFrame([], schema)
+        # never-written table: empty frame with just the key columns
+        return self.spark.createDataFrame(
+            [], T.StructType([T.StructField(k, T.StringType()) for k in self.keys])
+        )
+
+    def read(self) -> DataFrame:
+        """User-facing view: lineage/bucket columns dropped."""
+        df = self.snapshot()
+        drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
+        return df.drop(*drop)
+
+    # ---------------------------------------------------------------- merge
+    def merge(
+        self,
+        source: DataFrame,
+        batch_id: str | None = None,
+        app_metadata: dict | None = None,
+    ) -> Commit:
+        """Idempotent MERGE: upsert rows of ``source`` keyed ``self.keys``
+        with last-writer-wins on ``self.ts_col``; rows with ``op='delete'``
+        remove the key. Rewrites only the buckets present in the source.
+
+        Replay guard: if ``batch_id`` was already committed, returns the
+        existing commit without touching data — this is what makes
+        crash-recovery exactly-once (engine re-runs a batch, merge no-ops).
+        """
+        if batch_id is not None:
+            existing = self.get_commit_by_batch_id(batch_id)
+            if existing is not None:
+                return existing
+
+        src = source
+        if _OP_COL not in src.columns:
+            src = src.withColumn(_OP_COL, F.lit("upsert"))
+        for c in LINEAGE_COLS:
+            if c not in src.columns:
+                src = src.withColumn(
+                    c, F.lit(0).cast("long") if c.endswith("offset") else F.lit("")
+                )
+        src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+
+        # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
+        affected = sorted(
+            r[0] for r in src.select(_BUCKET_COL).distinct().collect()
+        )
+        live, _, _ = self._state()
+        old_files = [p for p, a in live.items() if a["bucket"] in affected]
+        target = self._read_files(old_files)
+
+        if target is not None:
+            if _OP_COL not in target.columns:
+                target = target.withColumn(_OP_COL, F.lit("upsert"))
+            merged_in = target.unionByName(src, allowMissingColumns=True)
+        else:
+            merged_in = src
+
+        resolved = lww_dedup(merged_in, self.keys, self.ts_col)
+        resolved = resolved.filter(F.col(_OP_COL) != F.lit("delete")).drop(_OP_COL)
+        # recompute bucket post-union (schema-evolution may have nulled it on
+        # old rows only in pathological cases; cheap and safe)
+        resolved = resolved.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+
+        version = self.latest_version() + 1
+        cdir_rel = f"c{version:020d}"
+        cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        (
+            resolved.withColumn("_pb", F.col(_BUCKET_COL))
+            .repartition(max(len(affected), 1), F.col(_BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
+
+        added = self._scan_written(cdir, cdir_rel)
+        commit = Commit(
+            version=version,
+            batch_id=batch_id,
+            added=added,
+            removed=old_files,
+            schema_json=resolved.drop(_BUCKET_COL).schema.json(),
+            app_metadata=app_metadata or {},
+            metrics={
+                "affected_buckets": len(affected),
+                "rows_written": sum(a["rows"] for a in added),
+                "files_added": len(added),
+                "files_removed": len(old_files),
+            },
+        )
+        self._write_commit(commit)
+        return commit
+
+    def _scan_written(self, cdir: str, cdir_rel: str) -> list[dict]:
+        """Enumerate data files of a write with per-file row counts (from
+        parquet footers) and bucket ids (from partition dirs) — the
+        per-partition lineage record. At cluster scale this comes from the
+        executor write-task commit messages instead of a driver scan."""
+        import pyarrow.parquet as pq
+
+        added = []
+        for dirpath, _, files in os.walk(cdir):
+            m = re.search(r"_pb=(\d+)", dirpath)
+            if not m:
+                continue
+            bucket = int(m.group(1))
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, os.path.join(self.root, _DATA_DIR))
+                rows = pq.ParquetFile(full).metadata.num_rows
+                added.append({"path": rel, "bucket": bucket, "rows": rows})
+        return sorted(added, key=lambda a: a["path"])
+
+    # ------------------------------------------------------ schema evolution
+    def rename_column(self, old: str, new: str) -> Commit:
+        """Metadata-only rename (like Iceberg field-id rename — no rewrite)."""
+        version = self.latest_version() + 1
+        commit = Commit(
+            version=version,
+            batch_id=None,
+            added=[],
+            removed=[],
+            schema_json=None,
+            renames={old: new},
+        )
+        self._write_commit(commit)
+        return commit
+
+    # ---------------------------------------------------------------- utils
+    def history(self) -> list[dict]:
+        return [c.__dict__ for c in self.commits()]
+
+    def vacuum(self) -> int:
+        """Delete data files no longer referenced by the latest snapshot."""
+        live, _, _ = self._state()
+        data_root = os.path.join(self.root, _DATA_DIR)
+        removed = 0
+        for dirpath, _, files in os.walk(data_root):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                rel = os.path.relpath(full, data_root)
+                if fn.endswith(".parquet") and rel not in live:
+                    os.unlink(full)
+                    removed += 1
+        return removed
