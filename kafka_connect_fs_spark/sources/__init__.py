@@ -1,0 +1,2 @@
+from kafka_connect_fs_spark.sources.discovery import expand_dynamic_uri, list_files  # noqa: F401
+from kafka_connect_fs_spark.sources.watermarks import WatermarkStore  # noqa: F401

@@ -1,0 +1,402 @@
+"""IngestEngine — the micro-batch driver replacing FsSourceTask.poll().
+
+One micro-batch (reference hot loop FsSourceTask.java:77-121, re-expressed
+as a Spark plan):
+
+1. discover:   list URIs, regex-filter names, drop empty files
+               (AbstractPolicy.listFiles + FsSourceTask.java:126)
+2. resume:     compare listing against the watermark table; new or grown
+               files become work items starting at their committed offset
+               (the reference's batched offsets() fetch + seek,
+               FsSourceTask.java:83-91, AbstractPolicy.java:233-248)
+3. read:       distributed vectorized parse (sources/readers.py) into the
+               change-event DataFrame with per-record lineage
+               (_src_file, _src_offset)
+4. resolve:    last-writer-wins per (key, ts) inside the MERGE
+5. commit:     idempotent MERGE into the lake table (batch_id guard), then
+               watermark commit; a crash between the two replays the batch,
+               the MERGE no-ops, and the watermark delta is recovered from
+               the lake commit's app_metadata — exactly-once end to end
+               (upgrades the reference's documented at-least-once,
+               docs/source/faq.rst:7-17)
+6. cleanup:    fully-consumed files get NONE/MOVE/DELETE side-effects
+               (AbstractPolicy.java:281-331), applied post-commit and
+               idempotent under replay
+7. metrics:    per-batch lineage (files, splits, events, per-bucket rows,
+               durations) appended to <checkpoint>/metrics.jsonl
+
+Scale: discovery is O(listing); everything row-shaped is a distributed
+DataFrame; per-batch driver state is bounded by files-per-trigger, and the
+MERGE shuffle is bucket-pruned + partial-aggregated (see plans/lake.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_fs_spark.plans.lake import LakeTable
+from kafka_connect_fs_spark.sources.discovery import FileMeta, list_files
+from kafka_connect_fs_spark.sources.readers import (
+    WorkItem,
+    format_for,
+    parse_csv,
+    parse_fixed_width,
+    parse_jsonl,
+    parse_text,
+    parse_whole_file_records,
+    read_binary,
+    read_columnar,
+    read_lines,
+    read_whole_files,
+)
+from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
+
+LINE_FORMATS = {"text", "csv", "tsv", "jsonl", "fixedwidth"}
+WHOLE_FILE_FORMATS = {"yaml", "xml", "json_whole", "text_whole"}
+COLUMNAR_FORMATS = {"parquet", "avro", "orc"}
+
+
+@dataclass
+class IngestConfig:
+    uris: list[str]
+    table_root: str
+    checkpoint_root: str
+    fmt: str = "jsonl"  # or "agnostic" for by-extension dispatch
+    regexp: str = ".*"
+    recursive: bool = True
+    schema: T.StructType | None = None
+    reader_options: dict = field(default_factory=dict)
+    keys: tuple = ("conv_id", "turn_idx")
+    ts_col: str = "ts"
+    n_buckets: int = 16
+    files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
+    cleanup: str = "none"  # none | move | delete (AbstractPolicy.java:45-47)
+    cleanup_move_dir: str | None = None
+    emit_unterminated_final_line: bool = True
+    max_split_bytes: int = 128 * 1024 * 1024
+    batch_id_prefix: str = "ingest-"
+    # maps parsed records → change events; must preserve _src_file/_src_offset
+    transform: Callable[[DataFrame], DataFrame] | None = None
+
+
+@dataclass
+class BatchResult:
+    batch_id: str
+    seq: int
+    n_files: int
+    n_events: int
+    rows_written: int
+    recovered: bool = False
+    cleaned: list[str] = field(default_factory=list)
+    duration_s: float = 0.0
+
+
+class IngestEngine:
+    def __init__(self, spark: SparkSession, config: IngestConfig):
+        self.spark = spark
+        self.config = config
+        self.lake = (
+            LakeTable(spark, config.table_root)
+            if LakeTable.exists(config.table_root)
+            else LakeTable.create(
+                spark,
+                config.table_root,
+                keys=list(config.keys),
+                ts_col=config.ts_col,
+                n_buckets=config.n_buckets,
+            )
+        )
+        self.watermarks = WatermarkStore(
+            spark, os.path.join(config.checkpoint_root, "watermarks")
+        )
+        os.makedirs(config.checkpoint_root, exist_ok=True)
+        self._metrics_path = os.path.join(config.checkpoint_root, "metrics.jsonl")
+
+    # ------------------------------------------------------------- planning
+    def _plan(
+        self, listing: list[FileMeta], wm_rows: dict[str, dict]
+    ) -> tuple[list[WorkItem], list[str]]:
+        work: list[WorkItem] = []
+        finished: list[str] = []
+        for f in listing:
+            w = wm_rows.get(f.path)
+            if w is None:
+                work.append(WorkItem(f.path, 0, f.length))
+                continue
+            # compressed offsets are decompressed-bytes, so growth is judged
+            # on the recorded compressed file_size instead
+            grown = (
+                f.length > w["file_size"]
+                if _compressed(f.path)
+                else f.length > w["committed_offset"]
+            )
+            if grown:
+                # grown file → tail from the committed offset
+                # (HdfsFileWatcherPolicy append semantics, :144-170)
+                work.append(WorkItem(f.path, w["committed_offset"], f.length))
+            elif w["eof"]:
+                # already fully consumed → cleanup candidate, never re-read
+                # (AbstractPolicy.java:233-241; FsSourceTaskTest.java:260-271)
+                finished.append(f.path)
+        cap = self.config.files_per_trigger
+        if cap and len(work) > cap:
+            work = work[:cap]  # listing is path-sorted → deterministic batching
+        return work, finished
+
+    # --------------------------------------------------------------- reading
+    def _read(self, work: list[WorkItem]) -> tuple[DataFrame | None, DataFrame | None]:
+        """Returns (lines_df_for_watermarks_or_None, events_df)."""
+        cfg = self.config
+        groups: dict[str, list[WorkItem]] = {}
+        for w in work:
+            fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(
+                w.path, cfg.reader_options.get("format_overrides")
+            )
+            groups.setdefault(fmt, []).append(w)
+
+        lines_parts: list[DataFrame] = []
+        event_parts: list[DataFrame] = []
+        for fmt, items in groups.items():
+            if fmt in LINE_FORMATS:
+                lines = read_lines(
+                    self.spark,
+                    items,
+                    encoding=cfg.reader_options.get("encoding", "utf-8"),
+                    emit_unterminated_final_line=cfg.emit_unterminated_final_line,
+                    max_split_bytes=cfg.max_split_bytes,
+                )
+                lines = lines.persist()
+                lines_parts.append(lines)
+                event_parts.append(self._parse_lines(fmt, lines))
+            elif fmt in WHOLE_FILE_FORMATS:
+                files_df = read_whole_files(self.spark, items)
+                if fmt == "text_whole":
+                    ev = files_df.select(
+                        "_src_file",
+                        "_src_offset",
+                        "_src_end",
+                        F.lit(0).cast("long").alias("_line_no"),
+                        F.decode(F.col("content"), cfg.reader_options.get("encoding", "utf-8")).alias(
+                            cfg.reader_options.get("field_name", "value")
+                        ),
+                    )
+                else:
+                    wf_fmt = "json" if fmt == "json_whole" else fmt
+                    ev = parse_whole_file_records(
+                        files_df, wf_fmt, self._require_schema(), cfg.reader_options
+                    )
+                event_parts.append(ev)
+            elif fmt in COLUMNAR_FORMATS:
+                event_parts.append(
+                    read_columnar(
+                        self.spark,
+                        items,
+                        fmt,
+                        schema=cfg.schema,
+                        columns=cfg.reader_options.get("columns"),
+                        options=cfg.reader_options.get("spark_options"),
+                    )
+                )
+            elif fmt == "binary":
+                event_parts.append(read_binary(self.spark, items))
+            else:
+                raise ValueError(f"unknown format: {fmt}")
+
+        lines_df = None
+        if lines_parts:
+            lines_df = lines_parts[0]
+            for p in lines_parts[1:]:
+                lines_df = lines_df.unionByName(p)
+        events = None
+        if event_parts:
+            events = event_parts[0]
+            for p in event_parts[1:]:
+                events = events.unionByName(p, allowMissingColumns=True)
+        return lines_df, events
+
+    def _parse_lines(self, fmt: str, lines: DataFrame) -> DataFrame:
+        cfg = self.config
+        o = cfg.reader_options
+        if fmt == "text":
+            return parse_text(lines, o.get("field_name", "value"))
+        if fmt == "jsonl":
+            return parse_jsonl(lines, self._require_schema(), o.get("json_options"))
+        if fmt in ("csv", "tsv"):
+            return parse_csv(
+                lines,
+                self._require_schema(),
+                sep=o.get("sep", "\t" if fmt == "tsv" else ","),
+                header=o.get("header", True),
+                options=o.get("csv_options"),
+            )
+        if fmt == "fixedwidth":
+            return parse_fixed_width(
+                lines,
+                o["field_lengths"],
+                o.get("field_names"),
+                o.get("field_types"),
+                trim=o.get("trim", True),
+            )
+        raise ValueError(fmt)
+
+    def _require_schema(self) -> T.StructType:
+        if self.config.schema is None:
+            raise ValueError(f"format {self.config.fmt!r} requires an explicit schema")
+        return self.config.schema
+
+    # ---------------------------------------------------------------- batch
+    def run_once(self) -> BatchResult:
+        t0 = time.monotonic()
+        cfg = self.config
+        seq = self.watermarks.last_seq() + 1
+        batch_id = f"{cfg.batch_id_prefix}{seq:012d}"
+
+        # crash recovery: MERGE already committed for this seq → finish the
+        # watermark/cleanup half from the lake commit's metadata and move on
+        recovered = self.lake.get_commit_by_batch_id(batch_id)
+        if recovered is not None:
+            md = recovered.app_metadata or {}
+            cleaned = self._cleanup(md.get("cleanup", []))
+            self.watermarks.commit(md.get("watermarks", []), seq, removed_paths=cleaned)
+            res = BatchResult(
+                batch_id, seq, len(md.get("watermarks", [])), 0,
+                recovered.metrics.get("rows_written", 0), recovered=True,
+                cleaned=cleaned, duration_s=time.monotonic() - t0,
+            )
+            self._log_metrics(res, recovered.metrics)
+            return res
+
+        listing = [f for f in list_files(cfg.uris, cfg.regexp, cfg.recursive) if f.length > 0]
+        wm_rows = {
+            r["path"]: r for r in (x.asDict() for x in self.watermarks.load().collect())
+        }
+        work, finished = self._plan(listing, wm_rows)
+        snap = {w.path: w.snap_length for w in work}
+
+        if not work:
+            cleaned = self._cleanup(finished)
+            if cleaned:
+                self.watermarks.commit([], seq, removed_paths=cleaned)
+            res = BatchResult(batch_id, seq, 0, 0, 0, cleaned=cleaned,
+                              duration_s=time.monotonic() - t0)
+            self._log_metrics(res, {})
+            return res
+
+        lines_df, events = self._read(work)
+        try:
+            if cfg.transform is not None:
+                events = cfg.transform(events)
+            n_events = events.count()
+            # error tolerance: unparseable records (null keys/ts after the
+            # typed parse) are quarantined, not fatal — the reference warns
+            # and continues on bad files (FsSourceTask.java:101-105)
+            key_cols = [c for c in (*cfg.keys, cfg.ts_col) if c in events.columns]
+            if key_cols:
+                cond = " AND ".join(f"`{c}` IS NOT NULL" for c in key_cols)
+                events = events.filter(cond)
+
+            # per-file consumed offsets: from the raw line scan (includes
+            # header/skipped lines), falling back to full-snap for whole-file
+            # and columnar formats
+            consumed: dict[str, int] = {}
+            if lines_df is not None:
+                for r in lines_df.groupBy("_src_file").agg(
+                    F.max("_src_end").alias("end")
+                ).collect():
+                    consumed[r["_src_file"]] = r["end"]
+            wm_updates = []
+            for w in work:
+                end = consumed.get(w.path, w.snap_length)
+                fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)
+                if fmt not in LINE_FORMATS:
+                    end = w.snap_length
+                end = max(end, w.start_offset)
+                wm_updates.append(
+                    {
+                        "path": w.path,
+                        "committed_offset": int(end),
+                        "file_size": int(snap[w.path]),
+                        "eof": bool(end >= snap[w.path]) or _compressed(w.path),
+                    }
+                )
+
+            commit = self.lake.merge(
+                events,
+                batch_id=batch_id,
+                app_metadata={"watermarks": wm_updates, "cleanup": finished},
+            )
+        finally:
+            if lines_df is not None:
+                lines_df.unpersist()
+
+        cleaned = self._cleanup(finished)
+        self.watermarks.commit(wm_updates, seq, removed_paths=cleaned)
+        res = BatchResult(
+            batch_id, seq, len(work), n_events,
+            commit.metrics.get("rows_written", 0), cleaned=cleaned,
+            duration_s=time.monotonic() - t0,
+        )
+        self._log_metrics(res, commit.metrics, added=commit.added)
+        return res
+
+    def run(self, policy) -> list[BatchResult]:
+        """Drain a trigger policy (streaming/triggers.py)."""
+        return [self.run_once() for _ in policy.triggers()]
+
+    # -------------------------------------------------------------- cleanup
+    def _cleanup(self, paths: list[str]) -> list[str]:
+        mode = self.config.cleanup
+        if mode == "none" or not paths:
+            return []
+        done = []
+        for p in paths:
+            local = p[len("file://"):] if p.startswith("file://") else p
+            if not os.path.exists(local):
+                done.append(p)  # already cleaned (replay) — idempotent
+                continue
+            if mode == "delete":
+                os.unlink(local)
+            elif mode == "move":
+                dest_dir = self.config.cleanup_move_dir
+                if not dest_dir:
+                    raise ValueError("cleanup=move requires cleanup_move_dir")
+                os.makedirs(dest_dir, exist_ok=True)
+                shutil.move(local, os.path.join(dest_dir, os.path.basename(local)))
+            else:
+                raise ValueError(f"unknown cleanup mode: {mode}")
+            done.append(p)
+        return done
+
+    # -------------------------------------------------------------- metrics
+    def _log_metrics(self, res: BatchResult, merge_metrics: dict, added=None) -> None:
+        rec = {
+            "batch_id": res.batch_id,
+            "seq": res.seq,
+            "n_files": res.n_files,
+            "n_events": res.n_events,
+            "rows_written": res.rows_written,
+            "recovered": res.recovered,
+            "cleaned": len(res.cleaned),
+            "duration_s": round(res.duration_s, 4),
+            "merge": merge_metrics,
+        }
+        if added:
+            per_bucket: dict[int, int] = {}
+            for a in added:
+                per_bucket[a["bucket"]] = per_bucket.get(a["bucket"], 0) + a["rows"]
+            rec["rows_per_bucket"] = {str(k): v for k, v in sorted(per_bucket.items())}
+        with open(self._metrics_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def _compressed(path: str) -> bool:
+    return path.endswith(".gz") or path.endswith(".bz2")

@@ -1,0 +1,205 @@
+"""End-to-end IngestEngine tests — the reference's FsSourceTaskTest analog.
+
+Covers: full replay == oracle, no-op re-run, append tailing (resume from
+committed offset — FsSourceTaskTest.java:171-185), skip-finished files
+(:260-271), batching across triggers (:189-256), error tolerance (:285-316),
+cleanup MOVE/DELETE (PolicyTestBase.java:162-232), regex filtering
+(:141-157), crash recovery between MERGE and watermark commit (exactly-once,
+beyond the reference's at-least-once).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+from kafka_connect_fs_spark.testing.generator import (
+    CHANGE_EVENT_SCHEMA,
+    append_jsonl,
+    expected_final_state,
+    transcript_change_events,
+    write_jsonl,
+)
+
+
+def make_engine(spark, tmp_path, src_dir="src", **overrides) -> IngestEngine:
+    os.makedirs(tmp_path / src_dir, exist_ok=True)
+    cfg = IngestConfig(
+        uris=[str(tmp_path / src_dir)],
+        table_root=str(tmp_path / "table"),
+        checkpoint_root=str(tmp_path / "ckpt"),
+        fmt="jsonl",
+        schema=CHANGE_EVENT_SCHEMA,
+        n_buckets=4,
+        **overrides,
+    )
+    return IngestEngine(spark, cfg)
+
+
+def table_state(engine) -> dict:
+    return {
+        (r.conv_id, r.turn_idx): r.text for r in engine.lake.read().collect()
+    }
+
+
+def assert_matches_oracle(engine, rows):
+    exp = {k: v["text"] for k, v in expected_final_state(rows).items()}
+    assert table_state(engine) == exp
+
+
+def test_full_replay_matches_oracle_with_duplicates_and_out_of_order(spark, tmp_path):
+    rows = transcript_change_events(20, 5, n_versions=3, shuffle=True)
+    third = len(rows) // 3
+    engine = make_engine(spark, tmp_path)
+    write_jsonl(rows[:third], str(tmp_path / "src" / "a.jsonl"))
+    write_jsonl(rows[third : 2 * third], str(tmp_path / "src" / "b.jsonl"))
+    write_jsonl(rows[2 * third :], str(tmp_path / "src" / "c.jsonl"))
+    res = engine.run_once()
+    assert res.n_files == 3 and res.n_events == len(rows)
+    assert_matches_oracle(engine, rows)
+
+
+def test_second_run_is_noop(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(5, 3)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    res2 = engine.run_once()
+    assert res2.n_files == 0 and res2.n_events == 0
+    assert_matches_oracle(engine, rows)
+
+
+def test_append_tail_resumes_from_offset(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(10, 4, n_versions=2)
+    half = len(rows) // 2
+    p = str(tmp_path / "src" / "grow.jsonl")
+    write_jsonl(rows[:half], p)
+    r1 = engine.run_once()
+    assert r1.n_events == half
+    append_jsonl(rows[half:], p)
+    r2 = engine.run_once()
+    assert r2.n_events == len(rows) - half  # ONLY the tail, not a re-read
+    assert_matches_oracle(engine, rows)
+
+
+def test_mid_batch_crash_recovery_is_exactly_once(spark, tmp_path, monkeypatch):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(8, 3)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+
+    real_commit = engine.watermarks.commit
+    calls = {"n": 0}
+
+    def exploding_commit(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash between MERGE and watermark commit")
+
+    monkeypatch.setattr(engine.watermarks, "commit", exploding_commit)
+    with pytest.raises(RuntimeError):
+        engine.run_once()
+    assert calls["n"] == 1
+    monkeypatch.setattr(engine.watermarks, "commit", real_commit)
+
+    res = engine.run_once()  # replay of the same batch
+    assert res.recovered is True
+    assert_matches_oracle(engine, rows)
+    # and the batch after that sees nothing new
+    res3 = engine.run_once()
+    assert res3.n_events == 0 and res3.recovered is False
+
+
+def test_files_per_trigger_batches_deterministically(spark, tmp_path):
+    engine = make_engine(spark, tmp_path, files_per_trigger=2)
+    rows = transcript_change_events(9, 2)
+    per_file = len(rows) // 3
+    for i in range(3):
+        write_jsonl(rows[i * per_file : (i + 1) * per_file], str(tmp_path / "src" / f"f{i}.jsonl"))
+    r1, r2 = engine.run_once(), engine.run_once()
+    assert (r1.n_files, r2.n_files) == (2, 1)
+    assert_matches_oracle(engine, rows)
+
+
+def test_regex_filters_on_file_name(spark, tmp_path):
+    engine = make_engine(spark, tmp_path, regexp=r"^keep.*\.jsonl$")
+    rows = transcript_change_events(4, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "keep_these.jsonl"))
+    write_jsonl(
+        transcript_change_events(2, 2, seed=7), str(tmp_path / "src" / "skip_these.jsonl")
+    )
+    res = engine.run_once()
+    assert res.n_files == 1
+    assert_matches_oracle(engine, rows)
+
+
+def test_empty_files_skipped(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(3, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    open(tmp_path / "src" / "empty.jsonl", "w").close()
+    res = engine.run_once()
+    assert res.n_files == 1
+    assert_matches_oracle(engine, rows)
+
+
+def test_corrupt_lines_are_quarantined_not_fatal(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(3, 2)
+    p = str(tmp_path / "src" / "a.jsonl")
+    write_jsonl(rows, p)
+    with open(p, "a") as f:
+        f.write("this is not json\n{\"op\": \"upsert\"\n")
+    res = engine.run_once()
+    assert res.n_events == len(rows) + 2  # raw records seen
+    assert_matches_oracle(engine, rows)  # but corrupt ones never reach the table
+
+
+def test_cleanup_delete_after_fully_consumed(spark, tmp_path):
+    engine = make_engine(spark, tmp_path, cleanup="delete")
+    rows = transcript_change_events(3, 2)
+    p = tmp_path / "src" / "a.jsonl"
+    write_jsonl(rows, str(p))
+    engine.run_once()  # ingests; file now fully consumed
+    assert p.exists()  # cleanup happens on *re-encounter*, like the reference
+    res2 = engine.run_once()
+    assert not p.exists() and res2.cleaned
+    assert_matches_oracle(engine, rows)
+
+
+def test_cleanup_move_after_fully_consumed(spark, tmp_path):
+    dest = tmp_path / "done"
+    engine = make_engine(spark, tmp_path, cleanup="move", cleanup_move_dir=str(dest))
+    rows = transcript_change_events(3, 2)
+    p = tmp_path / "src" / "a.jsonl"
+    write_jsonl(rows, str(p))
+    engine.run_once()
+    engine.run_once()
+    assert not p.exists() and (dest / "a.jsonl").exists()
+    assert_matches_oracle(engine, rows)
+
+
+def test_delete_op_removes_turn(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(3, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    del_row = dict(rows[0])
+    del_row.update(op="delete", conv_id="conv_000001", turn_idx=0)
+    del_row["ts"] = max(r["ts"] for r in rows) + __import__("datetime").timedelta(seconds=5)
+    write_jsonl([del_row], str(tmp_path / "src" / "b.jsonl"))
+    engine.run_once()
+    assert_matches_oracle(engine, rows + [del_row])
+    assert ("conv_000001", 0) not in table_state(engine)
+
+
+def test_metrics_jsonl_written_with_per_bucket_lineage(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    write_jsonl(transcript_change_events(5, 2), str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    import json
+
+    lines = [json.loads(l) for l in open(tmp_path / "ckpt" / "metrics.jsonl")]
+    assert lines and lines[0]["rows_written"] == 10
+    assert sum(lines[0]["rows_per_bucket"].values()) == 10
