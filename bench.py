@@ -1,0 +1,139 @@
+"""Benchmark harness: headline ingest throughput + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "ingest": {...}, "scaling": {...}}
+
+- headline `value` = wall seconds for the full query sweep (driver contract);
+- `ingest` = the BASELINE.json metric: change-events/sec through the full
+  engine (files → discovery → vectorized parse → LWW MERGE → lake);
+- `scaling` (only with SPARK_GRAFT_SCALING=1) = the same ingest job at two
+  parallelism levels (local[8] vs local[32]) + efficiency, evidencing the
+  north rule's two-cluster-size criterion in-sandbox.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _ingest_throughput(spark, sf_dir: str, n_files: int = 8) -> dict:
+    """Full-engine ingest of transcript change events synthesized from the
+    events table; returns events/sec."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_fs_spark.queries import _transcript_events, t
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="kcfs_bench_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    try:
+        ev = _transcript_events(t(spark, sf_dir, "events")).orderBy("event_id")
+        ev = ev.select(
+            F.lit("upsert").alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        )
+        n_events = ev.count()
+        # write the source files with Spark (not timed)
+        ev.repartition(n_files).write.mode("overwrite").json(src)
+        t0 = time.monotonic()
+        engine = IngestEngine(
+            spark,
+            IngestConfig(
+                uris=[src],
+                regexp=r"part-.*\.json$",
+                table_root=os.path.join(base, "table"),
+                checkpoint_root=os.path.join(base, "ckpt"),
+                fmt="jsonl",
+                schema=CHANGE_EVENT_SCHEMA,
+                n_buckets=32,
+            ),
+        )
+        res = engine.run_once()
+        dt = time.monotonic() - t0
+        assert res.n_events == n_events, (res.n_events, n_events)
+        return {
+            "events": n_events,
+            "seconds": round(dt, 3),
+            "events_per_sec": round(n_events / dt, 1),
+            "rows_written": res.rows_written,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _run_queries(spark, sf_dir: str) -> dict:
+    from kafka_connect_fs_spark.queries import QUERIES
+
+    timings = {}
+    for name, fn in QUERIES.items():
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+    return timings
+
+
+def _scaling(sf_dir: str) -> dict:
+    """Same ingest job at two parallelism levels on identical input."""
+    from kafka_connect_fs_spark.session import get_spark
+
+    out = {}
+    for cores in (8, 32):
+        spark = get_spark(f"kcfs-bench-{cores}", cores=cores, shuffle_partitions=cores)
+        try:
+            out[f"local[{cores}]"] = _ingest_throughput(spark, sf_dir)
+        finally:
+            spark.stop()
+    t8 = out["local[8]"]["events_per_sec"]
+    t32 = out["local[32]"]["events_per_sec"]
+    out["efficiency_8_to_32"] = round((t32 / t8) / (32 / 8), 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from kafka_connect_fs_spark.session import get_spark
+
+    result = {
+        "metric": "change-events/sec sustained MERGE-apply into lake table",
+        "unit": "sec",
+        "sf": sf,
+    }
+
+    spark = get_spark("kcfs-bench", cores=cpus, shuffle_partitions=cpus)
+    try:
+        t0 = time.monotonic()
+        result["queries"] = _run_queries(spark, sf_dir)
+        result["value"] = round(time.monotonic() - t0, 3)
+        result["ingest"] = _ingest_throughput(spark, sf_dir)
+    finally:
+        spark.stop()
+
+    if os.environ.get("SPARK_GRAFT_SCALING") == "1":
+        result["scaling"] = _scaling(sf_dir)
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

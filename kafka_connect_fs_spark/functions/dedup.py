@@ -1,0 +1,176 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, n-gram
+Jaccard, SimHash — all expressed as DataFrame plans (shuffles on hash keys,
+no Python in the hot path).
+
+Scale notes:
+- Exact dedup is a groupBy on a 128-bit content hash — partial aggregation
+  map-side, so duplicate-heavy corpora don't skew reducers.
+- MinHash+LSH is the standard shingle→signature→band→bucket-join pipeline:
+  candidate generation never compares all pairs; the only join key is
+  (band_id, band_key), so cost is O(docs × bands + bucket collisions).
+- Hash functions are md5-based so the DuckDB oracle can reproduce results
+  bit-for-bit (lexicographic min over hex strings is engine-independent).
+- SimHash packs 64 bits from per-token md5 prefixes — a cheap near-dup
+  fingerprint whose Hamming distance can be banded the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def content_hash(text: Column) -> Column:
+    return F.md5(text)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content: hash, group size, kept (min) id."""
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_doc_id"),
+        )
+    )
+
+
+def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (lower-cased, space-tokenized).
+
+    SQL twin: UNNEST(generate_series(...)) over string_split — identical
+    shingle strings by construction.
+    """
+    w = F.split(F.lower(F.col(text_col)), " ")
+    # guard short docs: sequence(1, 0) would be DESCENDING [1, 0] in Spark
+    idx = F.when(
+        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """(doc, seed) → min md5(shingle + '#' + seed). One shuffle, partial agg."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    per = sh.select(id_col, "shingle", seeds)
+    h = F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
+    return per.groupBy(id_col, "seed").agg(F.min(h).alias("h"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature, bucket-join on (band_id, band_key) → candidate
+    pairs (a < b). The join is the only shuffle that touches pairs."""
+    banded = sig.withColumn("band_id", (F.col("seed") / F.lit(_rows_per_band(sig, n_bands))).cast("int"))
+    keys = (
+        banded.groupBy(id_col, "band_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "h"))),
+                        lambda x: x["h"],
+                    ),
+                    "|",
+                )
+            ).alias("band_key")
+        )
+    )
+    a = keys.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
+    b = keys.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
+    return (
+        a.join(b, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _rows_per_band(sig: DataFrame, n_bands: int) -> int:
+    # signature length is a plan-time constant in this engine (n_hashes)
+    return max(1, 8 // n_bands)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
+) -> DataFrame:
+    sh = shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, n_hashes, id_col)
+    return lsh_candidate_pairs(sig, n_bands, id_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold_bp: int = 5000,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Exact Jaccard (integer basis points — engine-exact) over k-shingle
+    sets for pairs sharing ≥1 shingle (optionally blocked by e.g. language
+    to bound the pair space)."""
+    sh = shingles(df, text_col, id_col, k)
+    if block_col:
+        sh = sh.join(df.select(id_col, block_col), id_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    join_keys = ["shingle"] + ([block_col] if block_col else [])
+    a = sh.select(F.col(id_col).alias("doc_a"), *join_keys)
+    b = sh.select(F.col(id_col).alias("doc_b"), *join_keys)
+    inter = (
+        a.join(b, join_keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard_bp",
+            F.floor(
+                F.col("inter").cast("long") * 10000
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+            ).cast("long"),
+        )
+        .where(F.col("jaccard_bp") >= threshold_bp)
+        .select("doc_a", "doc_b", "jaccard_bp")
+    )
+    return out
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per distinct token, take the first 16 hex chars of
+    md5 as a 64-bit pattern; each bit contributes +1/-1; sign → bit.
+
+    Pure DataFrame ops: explode tokens → per-bit vote via bit ops → sum.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
+    ).where(F.length("t") > 0)
+    h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long")  # 60 bits, sign-safe
+    tok = tok.withColumn("h", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(60)
+    ]
+    agg = tok.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(60):
+        bit = F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = bit * F.lit(1 << b).cast("long")
+        sim = term if sim is None else (sim + term)
+    return agg.select(F.col(id_col), sim.alias("simhash"))

@@ -1,0 +1,112 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shapes, mapInPandas
+signatures, partition sizing) is real and tested; the actual codec work is
+stubbed behind ``DECODERS`` because no image/audio libraries ship in this
+container — a deployment swaps in e.g. PIL/soundfile without touching the
+plan. Decode runs in ``mapInPandas`` so bytes never round-trip through the
+driver and batches stay Arrow-backed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("content_sha1", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _fake_decode(kind: str, content: bytes) -> dict:
+    """Deterministic stand-in for a real codec: derives pseudo-metadata and
+    an 8-dim feature from the content hash. Replace via ``DECODERS``."""
+    h = hashlib.sha1(content).digest()
+    feat = [((b / 255.0) * 2 - 1) for b in h[:8]]
+    meta = {"width": None, "height": None, "duration_ms": None}
+    if kind == "image":
+        meta["width"], meta["height"] = 64 + h[0] % 192, 64 + h[1] % 192
+    elif kind in ("audio", "video"):
+        meta["duration_ms"] = 500 + int.from_bytes(h[2:4], "big") % 60_000
+        if kind == "video":
+            meta["width"], meta["height"] = 320, 240
+    return {**meta, "feature": feat}
+
+
+DECODERS: dict[str, Callable[[str, bytes], dict]] = {
+    "image": _fake_decode,
+    "audio": _fake_decode,
+    "video": _fake_decode,
+}
+
+
+def real_decoder_stub(kind: str, content: bytes) -> dict:
+    raise NotImplementedError(
+        "real image/audio decoding requires PIL/soundfile/av, not present in "
+        "this container; register a decoder in multimodal.DECODERS"
+    )
+
+
+def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Decode + featurize media rows — Arrow-batched, executor-side only.
+
+    Partitioning note: binary payloads make rows wide; keep
+    spark.sql.execution.arrow.maxRecordsPerBatch small (the ``batch_rows``
+    repartition below bounds per-task memory at ~batch_rows × payload size).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                decoded = DECODERS[r.kind](r.kind, content)
+                out.append(
+                    (
+                        int(r.media_id),
+                        r.kind,
+                        len(content),
+                        hashlib.sha1(content).hexdigest(),
+                        decoded["width"],
+                        decoded["height"],
+                        decoded["duration_ms"],
+                        decoded["feature"],
+                    )
+                )
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
+    """Test/bench helper: wrap document text bytes as fake media blobs."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("application/octet-stream").alias("mime"),
+    )

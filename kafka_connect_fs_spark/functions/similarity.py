@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Dot products run JVM-side via ``zip_with``/``aggregate`` lambdas in
+  double precision (cast first), so the DuckDB oracle reproduces values to
+  ~1e-13 and a round(4) makes them hash-stable.
+- ``lsh_topk``: the scale path — random-hyperplane LSH using deterministic
+  md5-derived hyperplanes, bucket join, exact re-rank inside buckets.
+  At 10^9 vectors the crossJoin of the baseline is impossible; this version
+  shuffles each vector to ~n_tables buckets instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    vec_q: str = "qv",
+    vec_n: str = "nv",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excludes self-matches by id).
+
+    Scale shape: corpus side should be the big relation; Spark broadcasts
+    the (small) query set automatically under AQE, making this a map-only
+    scan of the corpus + per-partition top-k before the final shuffle.
+    """
+    pairs = queries.join(corpus, F.col(q_id) != F.col(n_id))
+    scored = pairs.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
+    # rank on the ROUNDED similarity: cross-engine float drift (~1e-13) must
+    # not flip the order of near-tied neighbors
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, n_id, "cos_sim", "rank")
+    )
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component i has sign derived
+    from md5(f"{table}:{plane}:{i}") parity — reproducible in any engine."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    signs = F.transform(
+        idx,
+        lambda i: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit(table), F.lit(plane), i.cast("string"))),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(_as_double(vec), signs, lambda x, s: x * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucket(vec: Column, table: int, n_planes: int = 8) -> Column:
+    """n_planes sign bits → bucket id string for one hash table."""
+    bits = [_hyperplane_sign(vec, table, p).cast("string") for p in range(n_planes)]
+    return F.concat_ws("", F.lit(str(table)), F.lit("#"), *bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    vec_q: str = "qv",
+    vec_n: str = "nv",
+) -> DataFrame:
+    """Approximate top-k: bucket-join per hash table, exact re-rank within
+    candidates. Recall grows with n_tables; cost stays ~linear in corpus."""
+    q_b = None
+    c_b = None
+    for t in range(n_tables):
+        qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_q), t, n_planes))
+        cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_n), t, n_planes))
+        q_b = qb if q_b is None else q_b.unionByName(qb)
+        c_b = cb if c_b is None else c_b.unionByName(cb)
+    cand = (
+        q_b.join(c_b, "bucket")
+        .where(F.col(q_id) != F.col(n_id))
+        .select(q_id, n_id, vec_q, vec_n)
+        .distinct()
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, n_id, "cos_sim", "rank")
+    )

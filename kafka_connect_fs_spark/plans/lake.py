@@ -324,6 +324,17 @@ class LakeTable:
         self._write_commit(commit)
         return commit
 
+    def current_schema(self) -> T.StructType | None:
+        """Latest committed schema (post-renames), None if never written."""
+        _, schema_json, renames = self._state()
+        if not schema_json:
+            return None
+        schema = T.StructType.fromJson(json.loads(schema_json))
+        for old, new in renames.items():
+            if old in schema.fieldNames():
+                schema[old].name = new  # type: ignore[misc]
+        return schema
+
     # ---------------------------------------------------------------- utils
     def history(self) -> list[dict]:
         return [c.__dict__ for c in self.commits()]

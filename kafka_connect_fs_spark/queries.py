@@ -1,0 +1,620 @@
+"""Paired Spark queries + DuckDB oracle SQL — the driver correctness gate.
+
+Each entry couples a Spark DataFrame plan (the engine's operators) with an
+ANSI-SQL twin that DuckDB runs on the same parquet; the driver hash-compares
+them at sf=0.01. Conventions that keep the hashes stable across engines:
+
+- every computed column is aliased identically on both sides;
+- doubles are round(…, 4) after identical arithmetic (both engines do the
+  sums in double precision; cross-engine drift ~1e-13 « rounding grain);
+- timestamps leave as formatted strings (no tz-representation skew);
+- all hash functions are md5 over identical strings (hex compares equal);
+- every top-k/window has a deterministic total tie-break order.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kafka_connect_fs_spark.functions import dedup as D
+from kafka_connect_fs_spark.functions import multimodal as M
+from kafka_connect_fs_spark.functions import similarity as S
+from kafka_connect_fs_spark.functions import text as TX
+from kafka_connect_fs_spark.operators.lww import lww_dedup
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+# --------------------------------------------------------------------------
+# CDC / ingest semantics (SURVEY.md §2.2, §2.6-2.7: LWW resolve, keep-latest)
+# --------------------------------------------------------------------------
+
+
+def q_cdc_lww_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of replaying `events` as upserts keyed (user_id,
+    event_type), LWW on (ts, event_id) — the MERGE resolver on raw events."""
+    e = t(spark, sf_dir, "events")
+    order = F.struct("ts", "event_id")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.max_by("value", order), 4).alias("last_value"),
+            F.max_by("event_id", order).alias("last_event_id"),
+            F.count(F.lit(1)).alias("n_changes"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("last_ts"),
+        )
+    )
+
+
+SQL_CDC_LWW_LATEST = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*)  OVER (PARTITION BY user_id, event_type) AS n_changes,
+         max(ts)   OVER (PARTITION BY user_id, event_type) AS max_ts
+  FROM events)
+SELECT user_id, event_type,
+       round(value, 4) AS last_value,
+       event_id AS last_event_id,
+       n_changes,
+       strftime(max_ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_cdc_changes_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest keys by change volume — the skew profile a MERGE must absorb."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_changes"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy(F.desc("n_changes"), F.asc("user_id"))
+        .limit(20)
+    )
+
+
+SQL_CDC_CHANGES_TOPK = """
+SELECT user_id, count(*) AS n_changes, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id
+ORDER BY n_changes DESC, user_id ASC LIMIT 20
+"""
+
+
+def _transcript_events(e: DataFrame) -> DataFrame:
+    role = (
+        F.when(F.col("event_type").isin("click", "view"), "user")
+        .when(F.col("event_type").isin("purchase", "signup"), "assistant")
+        .otherwise("tool")
+    )
+    return e.select(
+        F.concat(F.lit("conv_"), F.lpad(F.col("user_id").cast("string"), 6, "0")).alias("conv_id"),
+        (F.col("event_id") % 20).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.col("props").alias("text"),
+        F.col("ts"),
+        F.col("event_id"),
+    )
+
+
+def q_transcript_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic transcript synthesis from `events` + LWW per
+    (conv_id, turn_idx) — the engine's merge semantics as a pure query,
+    using the production lww_dedup operator."""
+    ev = _transcript_events(t(spark, sf_dir, "events"))
+    final = lww_dedup(ev, ["conv_id", "turn_idx"], ts_col="ts", tiebreak=("event_id",))
+    return final.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_TRANSCRIPT_SYNTH = """
+  SELECT 'conv_' || lpad(CAST(user_id AS VARCHAR), 6, '0') AS conv_id,
+         CAST(event_id % 20 AS INTEGER) AS turn_idx,
+         CASE WHEN event_type IN ('click','view') THEN 'user'
+              WHEN event_type IN ('purchase','signup') THEN 'assistant'
+              ELSE 'tool' END AS role,
+         props AS text, ts, event_id
+  FROM events
+"""
+
+SQL_TRANSCRIPT_FINAL_STATE = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id, turn_idx, role, text,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: the full CDC pipeline — synthesize transcript change-
+    event JSONL files from `events`, run IngestEngine (discovery →
+    watermarks → vectorized parse → LWW MERGE → lake), return the final
+    table. Must equal the pure-SQL oracle SQL_TRANSCRIPT_FINAL_STATE."""
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
+
+    base = tempfile.mkdtemp(prefix="kcfs_e2e_")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    try:
+        ev = _transcript_events(t(spark, sf_dir, "events")).orderBy("event_id")
+        rows = ev.collect()
+        n_files = 4
+        per = (len(rows) + n_files - 1) // n_files
+        import json as _json
+
+        for i in range(n_files):
+            with open(os.path.join(src, f"part-{i:03d}.jsonl"), "w") as f:
+                for r in rows[i * per : (i + 1) * per]:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "op": "upsert",
+                                "conv_id": r.conv_id,
+                                "turn_idx": r.turn_idx,
+                                "role": r.role,
+                                "text": r.text,
+                                "tool": None,
+                                "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                            }
+                        )
+                        + "\n"
+                    )
+        engine = IngestEngine(
+            spark,
+            IngestConfig(
+                uris=[src],
+                table_root=os.path.join(base, "table"),
+                checkpoint_root=os.path.join(base, "ckpt"),
+                fmt="jsonl",
+                schema=CHANGE_EVENT_SCHEMA,
+                n_buckets=16,
+            ),
+        )
+        engine.run_once()
+        out = engine.lake.read().select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+        )
+        # materialize before the tmp dir vanishes
+        result = spark.createDataFrame(out.collect(), out.schema)
+        return result
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (joins/aggs/windows — Catalyst-native, bench anchors)
+# --------------------------------------------------------------------------
+
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_Q3 = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_region_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup with explicit broadcast of the dimension chain —
+    the 100 TB plan shape: no shuffle on the fact side until the final agg."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "r_name")
+    )
+    return (
+        l.join(dims, l.l_suppkey == dims.s_suppkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+SQL_WINDOW_RUNNING = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+       AS running_value
+FROM events
+"""
+
+
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", F.round("o_totalprice", 2).alias("total_price"))
+    )
+
+
+SQL_TOPK_ORDERS = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders)
+SELECT o_orderpriority, rank, o_orderkey, round(o_totalprice, 2) AS total_price
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+SQL_DEDUP_MINHASH = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+  WHERE length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(shingle || '#' || CAST(s.seed AS VARCHAR))) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band_id,
+         md5(string_agg(h, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER))
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b USING (band_id, band_key)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold_bp=5000)
+
+
+SQL_DEDUP_JACCARD = """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+  WHERE length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       (inter * 10000) // (sa.sz + sb.sz - inter) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE (inter * 10000) // (sa.sz + sb.sz - inter) >= 5000
+"""
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_computed"),
+        TX.distinct_token_ratio_bp(F.col("text")).alias("distinct_ratio_bp"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text) AS n_chars_computed,
+       (len(list_distinct(string_split(text, ' '))) * 10000)
+         // len(string_split(text, ' ')) AS distinct_ratio_bp
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "distinct_ratio_bp", "mean_token_len_bp", "quality_bp", "keep"
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH b AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         (len(list_distinct(string_split(text, ' '))) * 10000)
+           // len(string_split(text, ' ')) AS distinct_ratio_bp,
+         ((length(text) - (len(string_split(text, ' ')) - 1)) * 10000)
+           // len(string_split(text, ' ')) AS mean_token_len_bp
+  FROM documents)
+SELECT doc_id, n_tokens, distinct_ratio_bp, mean_token_len_bp,
+       least(n_tokens, 100) * 50 + distinct_ratio_bp // 2 AS quality_bp,
+       CAST(n_tokens >= 5 AND n_tokens <= 10000 AND distinct_ratio_bp > 2000 AS INTEGER) AS keep
+FROM b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return TX.language_scores(d).select(
+        "doc_id", "lang", "score_en", "score_es", "score_de", "score_fr", "predicted_lang"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    sw = ", ".join(f"'{s}'" for s in TX.STOPWORDS[lang])
+    return f"len(list_filter(string_split(text, ' '), x -> x IN ({sw})))"
+
+
+SQL_LANG_ID = f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('es')} AS score_es,
+         {_sql_lang_score('de')} AS score_de,
+         {_sql_lang_score('fr')} AS score_fr
+  FROM documents)
+SELECT doc_id, lang, score_en, score_es, score_de, score_fr,
+       CASE
+         WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+         WHEN score_es >= score_en AND score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+         WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de > 0 THEN 'de'
+         WHEN score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_de AND score_fr > 0 THEN 'fr'
+         ELSE 'unknown'
+       END AS predicted_lang
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    return S.cosine_topk(q, c, k=5)
+
+
+SQL_EMBED_KNN = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS n_id, embedding AS nv FROM embeddings),
+qe AS (SELECT q_id, qv[u.i]::DOUBLE AS xv, u.i AS i
+       FROM q, UNNEST(generate_series(1, len(qv))) AS u(i)),
+ce AS (SELECT n_id, nv[u.i]::DOUBLE AS xv, u.i AS i
+       FROM c, UNNEST(generate_series(1, len(nv))) AS u(i)),
+dots AS (
+  SELECT qe.q_id, ce.n_id,
+         sum(qe.xv * ce.xv) AS dot,
+         sqrt(sum(qe.xv * qe.xv)) AS nq,
+         sqrt(sum(ce.xv * ce.xv)) AS nc
+  FROM qe JOIN ce USING (i)
+  WHERE qe.q_id <> ce.n_id
+  GROUP BY qe.q_id, ce.n_id),
+scored AS (
+  SELECT q_id, n_id, round(dot / (nq * nc), 4) AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (nq * nc), 4) DESC, n_id ASC) AS rank
+  FROM dots)
+SELECT q_id, n_id, cos_sim, rank FROM scored WHERE rank <= 5
+"""
+
+
+def q_binary_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing oracle: opaque binary column + typed metadata."""
+    d = t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("blob_md5"),
+    )
+
+
+SQL_BINARY_BLOB_STATS = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, md5(text) AS blob_md5
+FROM documents
+"""
+
+
+# rows-only (no SQL oracle — custom distributed ops)
+
+
+def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    return S.lsh_topk(q, c, k=5, n_tables=4, n_planes=6)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash64(t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    return M.extract_features(media).select(
+        "media_id", "kind", "n_bytes", "content_sha1", "width", "height"
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "cdc_lww_latest": q_cdc_lww_latest,
+    "cdc_changes_topk": q_cdc_changes_topk,
+    "transcript_final_state": q_transcript_final_state,
+    "ingest_e2e_final_state": q_ingest_e2e_final_state,
+    "q1_pricing_summary": q_q1_pricing_summary,
+    "q3_top_revenue": q_q3_top_revenue,
+    "region_revenue_rollup": q_region_revenue_rollup,
+    "window_running_total": q_window_running_total,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "text_token_stats": q_text_token_stats,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embed_knn": q_embed_knn,
+    "binary_blob_stats": q_binary_blob_stats,
+    "embed_knn_lsh": q_embed_knn_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, str] = {
+    "cdc_lww_latest": SQL_CDC_LWW_LATEST,
+    "cdc_changes_topk": SQL_CDC_CHANGES_TOPK,
+    "transcript_final_state": SQL_TRANSCRIPT_FINAL_STATE,
+    "ingest_e2e_final_state": SQL_TRANSCRIPT_FINAL_STATE,
+    "q1_pricing_summary": SQL_Q1,
+    "q3_top_revenue": SQL_Q3,
+    "region_revenue_rollup": SQL_REGION_ROLLUP,
+    "window_running_total": SQL_WINDOW_RUNNING,
+    "topk_orders_per_priority": SQL_TOPK_ORDERS,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "embed_knn": SQL_EMBED_KNN,
+    "binary_blob_stats": SQL_BINARY_BLOB_STATS,
+    # embed_knn_lsh / dedup_simhash / multimodal_features: rows-only
+}

@@ -417,20 +417,63 @@ def parse_whole_file_records(
     def to_json(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for r in pdf.itertuples(index=False):
-                for i, js in enumerate(_records_to_json_lines(bytes(r.content), fmt, opts)):
-                    rows.append((r._src_file, int(r._src_offset), int(r._src_end), i, js))
+            # NB: not itertuples — pandas renames _-prefixed columns there
+            for src, off, end, content in zip(
+                pdf["_src_file"], pdf["_src_offset"], pdf["_src_end"], pdf["content"]
+            ):
+                for i, js in enumerate(_records_to_json_lines(bytes(content), fmt, opts)):
+                    rows.append((src, int(off), int(end), i, js))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["_src_file", "_src_offset", "_src_end", "_line_no", "value"]
                 )
 
     jsonl = files_df.mapInPandas(to_json, out_schema)
+    if fmt == "xml":
+        # xmltodict emits every scalar as a string (the reference's Jackson
+        # XML reader sees text too and infers — JacksonFileReaderTest); parse
+        # as all-strings, then cast to the declared schema
+        parsed = jsonl.withColumn("_rec", F.from_json("value", _stringify_schema(schema)))
+        casts = [
+            F.col(f"_rec.{f.name}").cast(f.dataType).alias(f.name) for f in schema.fields
+        ]
+        return parsed.select("_src_file", "_src_offset", "_src_end", "_line_no", *casts)
     parsed = jsonl.withColumn("_rec", F.from_json("value", schema))
     return parsed.select("_src_file", "_src_offset", "_src_end", "_line_no", "_rec.*")
 
 
+def _stringify_schema(schema: T.DataType) -> T.DataType:
+    if isinstance(schema, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _stringify_schema(f.dataType), True)
+                for f in schema.fields
+            ]
+        )
+    if isinstance(schema, T.ArrayType):
+        return T.ArrayType(_stringify_schema(schema.elementType), True)
+    return T.StringType()
+
+
 # ---------------------------------------------------------- native columnar
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """spark-avro is an *external* Spark module (not bundled with pyspark);
+    this sandbox has no jar for it. The reader below works unchanged when
+    the jar is on the cluster classpath (spark-submit --packages
+    org.apache.spark:spark-avro_2.13:<ver>), matching the reference's
+    AvroFileReader capability."""
+    try:
+        spark.read.format("avro").schema("_probe int").load(
+            "/nonexistent-avro-probe-path"
+        ).schema
+        return True
+    except Exception as e:
+        msg = str(e)
+        if "Failed to find data source" in msg or "FAILED_REGISTER" in msg:
+            return False
+        return True  # datasource resolved; error was the bogus path
 
 
 def read_columnar(

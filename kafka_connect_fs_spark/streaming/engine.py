@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_connect_fs_spark.operators.schema_evolution import diff_schemas
 from kafka_connect_fs_spark.plans.lake import LakeTable
 from kafka_connect_fs_spark.sources.discovery import FileMeta, list_files
 from kafka_connect_fs_spark.sources.readers import (
@@ -86,6 +87,9 @@ class IngestConfig:
     batch_id_prefix: str = "ingest-"
     # maps parsed records → change events; must preserve _src_file/_src_offset
     transform: Callable[[DataFrame], DataFrame] | None = None
+    # old→new column-rename hints: a batch arriving with `new` while the
+    # table has `old` triggers a metadata-only table rename (M4)
+    rename_hints: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -303,6 +307,21 @@ class IngestEngine:
             if key_cols:
                 cond = " AND ".join(f"`{c}` IS NOT NULL" for c in key_cols)
                 events = events.filter(cond)
+
+            # schema evolution (M4): detect adds/renames vs the table schema;
+            # renames apply as metadata-only commits, adds flow through the
+            # union-by-name merge; the diff lands in batch metrics/lineage
+            schema_diff = None
+            tbl_schema = self.lake.current_schema()
+            if tbl_schema is not None:
+                incoming = T.StructType(
+                    [f for f in events.schema.fields if not f.name.startswith("_")]
+                )
+                d = diff_schemas(tbl_schema, incoming, cfg.rename_hints)
+                for old, new in d.renamed.items():
+                    self.lake.rename_column(old, new)
+                if not d.is_noop:
+                    schema_diff = d.to_dict()
 
             # per-file consumed offsets: from the raw line scan (includes
             # header/skipped lines), falling back to full-snap for whole-file

@@ -1,0 +1,119 @@
+"""Unit tests for the training-pipeline function library (dedup /
+similarity / text / multimodal plumbing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_fs_spark.functions import dedup as D
+from kafka_connect_fs_spark.functions import multimodal as M
+from kafka_connect_fs_spark.functions import similarity as S
+from kafka_connect_fs_spark.functions import text as TX
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different text about spark engines and data"),
+        (4, "el la de que y palabras en otro idioma distinto aqui"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r.keep_doc_id: r.n_docs for r in D.exact_dedup_groups(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert D.shingles(df, k=3).count() == 0
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs  # exact dups always collide on every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard_scores(spark, docs):
+    out = {(r.doc_a, r.doc_b): r.jaccard_bp for r in D.ngram_jaccard_pairs(docs, threshold_bp=0).collect()}
+    assert out[(0, 1)] == 10000  # identical
+    assert 0 < out[(0, 2)] < 10000  # near dup
+    assert (0, 3) not in out  # no shared shingles
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    h = {r.doc_id: r.simhash for r in D.simhash64(docs).collect()}
+    assert h[0] == h[1]  # identical text → identical simhash
+    ham_near = bin(h[0] ^ h[2]).count("1")
+    ham_far = bin(h[0] ^ h[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_exact(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.where("vec_id = 0").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    out = S.cosine_topk(q, c, k=3).orderBy("rank").collect()
+    assert [r.n_id for r in out] == [1, 2, 3]
+    assert out[0].cos_sim > 0.99
+
+
+def test_lsh_topk_recovers_obvious_neighbor(spark):
+    import math
+
+    rows = [(i, [math.cos(i * 0.7), math.sin(i * 0.7), 0.1 * (i % 3)]) for i in range(40)]
+    rows.append((100, rows[5][1]))  # exact duplicate vector of id 5
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where("vec_id = 100").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.where("vec_id != 100").select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    out = S.lsh_topk(q, c, k=3, n_tables=4, n_planes=4).collect()
+    assert any(r.n_id == 5 and r.cos_sim == 1.0 for r in out)
+
+
+def test_language_scores_and_quality(spark, docs):
+    langs = {r.doc_id: r.predicted_lang for r in TX.language_scores(docs).collect()}
+    assert langs[0] == "en" and langs[4] == "es"
+    q = {r.doc_id: r for r in TX.quality_score(docs).collect()}
+    assert q[0].n_tokens == 9
+    assert q[0].distinct_ratio_bp == (8 * 10000) // 9  # 'the' repeats
+    assert q[0].keep == 1
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "different")], "doc_id long, text string"
+    )
+    fps = {r.doc_id: r.fp for r in df.select("doc_id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_multimodal_feature_extraction_plumbing(spark, docs):
+    media = M.documents_as_media(docs, kind="image")
+    feats = M.extract_features(media).collect()
+    assert len(feats) == docs.count()
+    by_id = {r.media_id: r for r in feats}
+    assert by_id[0].content_sha1 == by_id[1].content_sha1  # same bytes
+    assert by_id[0].width and by_id[0].height and len(by_id[0].feature) == 8
+    # deterministic across runs
+    feats2 = {r.media_id: r.feature for r in M.extract_features(media).collect()}
+    assert feats2[3] == by_id[3].feature
+
+
+def test_real_decoder_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M.real_decoder_stub("image", b"...")
