@@ -55,32 +55,45 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
-    """(doc, seed) → min md5(shingle + '#' + seed). One shuffle, partial agg."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    per = sh.select(id_col, "shingle", seeds)
-    h = F.md5(F.concat_ws("#", F.col("shingle"), F.col("seed").cast("string")))
-    return per.groupBy(id_col, "seed").agg(F.min(h).alias("h"))
+    """doc → wide signature (h0..h{n-1}) in ONE aggregation pass.
+
+    n_hashes separate min() aggregates over the same shingle scan — no
+    seed-explode (which would multiply the shuffle by n_hashes), full
+    map-side partial aggregation. At 10^9 docs this is the difference
+    between shuffling |shingles| and |shingles|×n_hashes rows.
+    """
+    aggs = [
+        F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"h{s}")
+        for s in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, n_bands: int = 4, id_col: str = "doc_id"
+    sig: DataFrame, n_bands: int = 4, n_hashes: int = 8, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Band the signature, bucket-join on (band_id, band_key) → candidate
-    pairs (a < b). The join is the only shuffle that touches pairs."""
-    banded = sig.withColumn("band_id", (F.col("seed") / F.lit(_rows_per_band(sig, n_bands))).cast("int"))
-    keys = (
-        banded.groupBy(id_col, "band_id")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "h"))),
-                        lambda x: x["h"],
-                    ),
-                    "|",
-                )
-            ).alias("band_key")
-        )
+    """Band the wide signature, bucket-join on (band_id, band_key) →
+    candidate pairs (a < b). The join is the only shuffle touching pairs."""
+    rows_per_band = max(1, n_hashes // n_bands)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col(f"h{s}")
+                            for s in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    keys = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_id", "b.band_key"
     )
     a = keys.select(F.col(id_col).alias("doc_a"), "band_id", "band_key")
     b = keys.select(F.col(id_col).alias("doc_b"), "band_id", "band_key")
@@ -90,11 +103,6 @@ def lsh_candidate_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-
-
-def _rows_per_band(sig: DataFrame, n_bands: int) -> int:
-    # signature length is a plan-time constant in this engine (n_hashes)
-    return max(1, 8 // n_bands)
 
 
 def minhash_lsh_pairs(
@@ -107,7 +115,7 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     sh = shingles(df, text_col, id_col, k)
     sig = minhash_signatures(sh, n_hashes, id_col)
-    return lsh_candidate_pairs(sig, n_bands, id_col)
+    return lsh_candidate_pairs(sig, n_bands, n_hashes, id_col)
 
 
 def ngram_jaccard_pairs(

@@ -63,27 +63,21 @@ def cosine_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
+def _hyperplane_signs(table: int, plane: int, dim: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component i has sign derived
-    from md5(f"{table}:{plane}:{i}") parity — reproducible in any engine."""
-    idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    signs = F.transform(
-        idx,
-        lambda i: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws(":", F.lit(table), F.lit(plane), i.cast("string"))),
-                    1,
-                    1,
-                ),
-                16,
-                10,
-            ).cast("int")
-            % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    from md5(f"{table}:{plane}:{i}") parity — reproducible in any engine.
+    Computed ONCE driver-side and shipped as a literal array, so the
+    per-row work is a single zip_with dot product (no per-row hashing)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{table}:{plane}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for i in range(dim)
+    ]
+
+
+def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
+    signs = F.array(*[F.lit(s) for s in _hyperplane_signs(table, plane, dim)])
     proj = F.aggregate(
         F.zip_with(_as_double(vec), signs, lambda x, s: x * s),
         F.lit(0.0),
@@ -92,9 +86,9 @@ def _hyperplane_sign(vec: Column, table: int, plane: int) -> Column:
     return (proj >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, table: int, n_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     """n_planes sign bits → bucket id string for one hash table."""
-    bits = [_hyperplane_sign(vec, table, p).cast("string") for p in range(n_planes)]
+    bits = [_hyperplane_sign(vec, table, p, dim).cast("string") for p in range(n_planes)]
     return F.concat_ws("", F.lit(str(table)), F.lit("#"), *bits)
 
 
@@ -108,14 +102,17 @@ def lsh_topk(
     n_id: str = "n_id",
     vec_q: str = "qv",
     vec_n: str = "nv",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: bucket-join per hash table, exact re-rank within
     candidates. Recall grows with n_tables; cost stays ~linear in corpus."""
+    if dim is None:
+        dim = queries.select(F.size(F.col(vec_q))).first()[0]
     q_b = None
     c_b = None
     for t in range(n_tables):
-        qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_q), t, n_planes))
-        cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_n), t, n_planes))
+        qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_q), t, n_planes, dim))
+        cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_n), t, n_planes, dim))
         q_b = qb if q_b is None else q_b.unionByName(qb)
         c_b = cb if c_b is None else c_b.unionByName(cb)
     cand = (

@@ -121,12 +121,18 @@ class LakeTable:
         return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
 
     def commits(self) -> list[Commit]:
+        """Replay the log, caching parsed commits (commit files are
+        immutable once created, so the cache only ever appends)."""
+        cache = getattr(self, "_commit_cache", {})
         d = os.path.join(self.root, _LOG_DIR)
+        names = sorted(n for n in os.listdir(d) if re.fullmatch(r"\d{20}\.json", n))
         out = []
-        for name in sorted(os.listdir(d)):
-            if re.fullmatch(r"\d{20}\.json", name):
+        for name in names:
+            if name not in cache:
                 with open(os.path.join(d, name)) as f:
-                    out.append(Commit.from_json(f.read()))
+                    cache[name] = Commit.from_json(f.read())
+            out.append(cache[name])
+        self._commit_cache = cache
         return out
 
     def latest_version(self) -> int:
@@ -236,6 +242,9 @@ class LakeTable:
                     c, F.lit(0).cast("long") if c.endswith("offset") else F.lit("")
                 )
         src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+        # persist: the source feeds two jobs (bucket discovery + the merge
+        # write) — don't recompute the upstream parse twice
+        src = src.persist()
 
         # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
         affected = sorted(
@@ -261,13 +270,16 @@ class LakeTable:
         version = self.latest_version() + 1
         cdir_rel = f"c{version:020d}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
-        (
-            resolved.withColumn("_pb", F.col(_BUCKET_COL))
-            .repartition(max(len(affected), 1), F.col(_BUCKET_COL))
-            .write.partitionBy("_pb")
-            .mode("overwrite")
-            .parquet(cdir)
-        )
+        try:
+            (
+                resolved.withColumn("_pb", F.col(_BUCKET_COL))
+                .repartition(max(len(affected), 1), F.col(_BUCKET_COL))
+                .write.partitionBy("_pb")
+                .mode("overwrite")
+                .parquet(cdir)
+            )
+        finally:
+            src.unpersist()
 
         added = self._scan_written(cdir, cdir_rel)
         commit = Commit(

@@ -187,77 +187,88 @@ def _scan_one_range(
     emit_final: bool,
     batch_rows: int,
 ) -> Iterator[pd.DataFrame]:
+    """Vectorized range scan: ONE read, ONE bytes.split, numpy cumsum for
+    offsets — no per-line Python loop (the reference's readLine() iterator,
+    TextFileReader.java:80-112, inverted into batch form).
+
+    Split contract (Hadoop LineRecordReader): a split with range_start past
+    the resume point seeks to range_start-1 and discards through the first
+    newline — so a line starting exactly AT the boundary is kept by this
+    split and a straddling line by the previous one (which reads past its
+    range_end to finish it).
+    """
+    import numpy as np
+
     comp = _compression_of(path)
     if comp:
         # offsets for compressed files are in *decompressed* bytes (the
-        # compressed size in the listing only detects growth); no intra-file
-        # splits, so this range covers the whole decompressed tail. Read the
-        # whole stream (not a snap_length prefix): truncating a gzip stream
-        # mid-member is not decodable.
+        # compressed listing size only detects growth); no intra-file
+        # splits. Read the whole stream: a gzip stream truncated mid-member
+        # is not decodable.
         data = _read_decompressed(path)
-        stream: io.BufferedIOBase = io.BytesIO(data)
         logical_end = len(data)
-        range_end = logical_end
-        at_snapshot_end = True
-    else:
-        stream = _open_raw(path)
-        logical_end = snap_length
-        at_snapshot_end = range_end >= snap_length
-
-    try:
         pos = range_start
-        stream.seek(pos)
-        if range_start > start_offset:
-            # mid-file split: the partial line belongs to the previous split
-            skipped = stream.readline()
-            pos += len(skipped)
+        buf = data[pos:logical_end]
+        at_end = True
+    else:
+        logical_end = snap_length
+        stream = _open_raw(path)
+        try:
+            pos = range_start
+            if range_start > start_offset:
+                stream.seek(pos - 1)
+                skipped = stream.readline()  # partial line → previous split
+                pos = range_start - 1 + len(skipped)
+                if pos >= min(range_end, logical_end):
+                    return
+            else:
+                stream.seek(pos)
+            buf = stream.read(min(range_end, logical_end) - pos)
+            if buf and not buf.endswith(b"\n"):
+                # finish the straddling last line (clamped to the snapshot)
+                extra = stream.readline()
+                if extra:
+                    buf += extra[: max(0, logical_end - pos - len(buf))]
+        finally:
+            stream.close()
+        at_end = pos + len(buf) >= logical_end
 
-        files, offs, ends, lnos, vals = [], [], [], [], []
-        line_no = -1  # line numbers are per-range (diagnostic only)
+    if not buf:
+        return
 
-        def flush():
-            nonlocal files, offs, ends, lnos, vals
-            if files:
-                yield pd.DataFrame(
-                    {
-                        "_src_file": files,
-                        "_src_offset": offs,
-                        "_src_end": ends,
-                        "_line_no": lnos,
-                        "value": vals,
-                    }
-                )
-                files, offs, ends, lnos, vals = [], [], [], [], []
+    fully_terminated = buf.endswith(b"\n")
+    parts = buf.split(b"\n")
+    if fully_terminated:
+        parts.pop()  # trailing empty piece
+    unterminated_last = not fully_terminated
+    if unterminated_last and not (emit_final and at_end):
+        parts.pop()  # still-growing tail: hold back for a later trigger
+        unterminated_last = False
+        if not parts:
+            return
 
-        while pos < range_end and pos < logical_end:
-            line = stream.readline()
-            if not line:
-                break
-            line_no += 1
-            start = pos
-            pos += len(line)
-            terminated = line.endswith(b"\n")
-            if pos > logical_end:
-                # bytes appended after the listing snapshot: clamp
-                overshoot = pos - logical_end
-                line = line[: len(line) - overshoot]
-                pos = logical_end
-                terminated = False
-            if not terminated and not (emit_final and at_snapshot_end and pos >= logical_end):
-                # unterminated tail of a still-growing file: leave for later
-                pos = start
-                break
-            text = line.rstrip(b"\r\n").decode(encoding, errors="replace")
-            files.append(path)
-            offs.append(start)
-            ends.append(pos)
-            lnos.append(line_no)
-            vals.append(text)
-            if len(files) >= batch_rows:
-                yield from flush()
-        yield from flush()
-    finally:
-        stream.close()
+    lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
+    starts = pos + np.concatenate(([0], np.cumsum(lens[:-1] + 1)))
+    ends = starts + lens + 1
+    if unterminated_last:
+        ends[-1] -= 1  # no trailing newline consumed
+
+    # decode ONCE ('\n' never occurs inside a multi-byte utf-8 sequence, so
+    # text split boundaries align with the byte split)
+    tparts = buf.decode(encoding, errors="replace").split("\n")[: len(parts)]
+
+    for lo in range(0, len(parts), batch_rows):
+        hi = min(lo + batch_rows, len(parts))
+        vals = pd.Series(tparts[lo:hi], dtype=object).str.rstrip("\r")
+        yield pd.DataFrame(
+            {
+                "_src_file": path,
+                "_src_offset": starts[lo:hi],
+                "_src_end": ends[lo:hi],
+                "_line_no": np.arange(lo, hi, dtype=np.int64),
+                "value": vals.values,
+            }
+        )
 
 
 # --------------------------------------------------------- line-format parsers
@@ -525,6 +536,37 @@ def read_binary(spark: SparkSession, items: list[WorkItem]) -> DataFrame:
     df = spark.read.format("binaryFile").load(paths)
     return df.withColumn("_src_file", F.col("path")).withColumn(
         "_src_offset", F.lit(0).cast("long")
+    )
+
+
+def read_sequence_file(
+    spark: SparkSession,
+    items: list[WorkItem],
+    key_field: str = "key",
+    value_field: str = "value",
+) -> DataFrame:
+    """Hadoop SequenceFile key/value scan (SequenceFileReader.java:17-173).
+
+    The one RDD-backed source in this engine: Spark has no DataFrame
+    SequenceFile reader, and the format is legacy — kept for parity, with
+    Writable→string coercion like the reference's toSchema mapping
+    (SequenceFileReader.java:59-78). Customizable field names mirror
+    file_reader.sequence.field_name.* options."""
+    paths = [w.path for w in items]
+    if not paths:
+        return spark.createDataFrame(
+            [], f"{key_field} string, {value_field} string, _src_file string, _src_offset long"
+        )
+    sc = spark.sparkContext
+    parts = []
+    for p in paths:
+        rdd = sc.sequenceFile(p).map(lambda kv, _p=p: (str(kv[0]), str(kv[1]), _p, 0))
+        parts.append(rdd)
+    union = parts[0]
+    for r in parts[1:]:
+        union = union.union(r)
+    return spark.createDataFrame(
+        union, f"{key_field} string, {value_field} string, _src_file string, _src_offset long"
     )
 
 

@@ -299,7 +299,25 @@ class IngestEngine:
         try:
             if cfg.transform is not None:
                 events = cfg.transform(events)
-            n_events = events.count()
+
+            # one stats pass over the cached raw lines yields BOTH the
+            # record count and the per-file consumed offsets (no separate
+            # count() job); only mixed/columnar batches need events.count()
+            all_line_formats = lines_df is not None and all(
+                (cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)) in LINE_FORMATS
+                for w in work
+            )
+            line_stats = []
+            if lines_df is not None:
+                line_stats = (
+                    lines_df.groupBy("_src_file")
+                    .agg(F.max("_src_end").alias("end"), F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+            if all_line_formats:
+                n_events = sum(r["cnt"] for r in line_stats)
+            else:
+                n_events = events.count()
             # error tolerance: unparseable records (null keys/ts after the
             # typed parse) are quarantined, not fatal — the reference warns
             # and continues on bad files (FsSourceTask.java:101-105)
@@ -323,15 +341,10 @@ class IngestEngine:
                 if not d.is_noop:
                     schema_diff = d.to_dict()
 
-            # per-file consumed offsets: from the raw line scan (includes
-            # header/skipped lines), falling back to full-snap for whole-file
-            # and columnar formats
-            consumed: dict[str, int] = {}
-            if lines_df is not None:
-                for r in lines_df.groupBy("_src_file").agg(
-                    F.max("_src_end").alias("end")
-                ).collect():
-                    consumed[r["_src_file"]] = r["end"]
+            # per-file consumed offsets from the same stats pass (includes
+            # header/skipped lines); whole-file and columnar formats commit
+            # the full snapshot length
+            consumed: dict[str, int] = {r["_src_file"]: r["end"] for r in line_stats}
             wm_updates = []
             for w in work:
                 end = consumed.get(w.path, w.snap_length)

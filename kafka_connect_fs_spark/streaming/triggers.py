@@ -110,6 +110,25 @@ class Cron:
         raise ValueError("no cron fire within a year")
 
 
+class FileWatcherPolicy(SleepyPolicy):
+    """Push-style discovery modeled as a fast listing-diff poll.
+
+    The reference's HdfsFileWatcherPolicy (policy/HdfsFileWatcherPolicy.java)
+    consumes HDFS inotify events into a queue, deduped by path keeping the
+    latest metadata (:88-97). PySpark has no inotify surface; the engine's
+    per-trigger listing diff against the watermark table gives the same
+    observable semantics (CREATE → new file at offset 0, APPEND → size >
+    committed offset ⇒ tail the delta, RENAME/CLOSE → new path), so this
+    policy is a tight-interval SleepyPolicy — the dedup-keep-latest is
+    inherent in listing the live filesystem state. On clusters with S3
+    event notifications (S3EventNotificationsPolicy.java), the event queue
+    would *narrow* the listing, not change the semantics.
+    """
+
+    def __init__(self, poll_s: float = 0.2, max_execs: int = -1):
+        super().__init__(sleep_s=poll_s, max_execs=max_execs)
+
+
 class CronPolicy(Policy):
     """Fire on a cron schedule until optional end_date
     (CronPolicy.java:22-73)."""
