@@ -547,6 +547,89 @@ FROM documents
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min inactivity gap):
+    lag + cumulative-sum-of-boundaries window pattern, then per-session agg.
+    The streaming analog is a session window with watermark; this is the
+    batch-replay form with a DuckDB oracle."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session TZ is UTC, so ntz→timestamp→long equals
+    # DuckDB's floor(epoch(ts)) on the same naive values
+    epoch_s = F.col("ts").cast("timestamp").cast("long")
+    boundary = (
+        F.when(epoch_s - F.lag(epoch_s).over(w) > 1800, 1)
+        .otherwise(0)
+        .cast("long")
+    )
+    sess = e.withColumn("boundary", boundary).withColumn(
+        "session_no",
+        F.sum("boundary").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT_SPARK).alias("session_end"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS boundary
+  FROM events),
+sess AS (
+  SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM gaps)
+SELECT user_id, session_no,
+       count(*) AS n_events,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_no
+"""
+
+
+def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.99 among the first
+    200 vectors — bounded pair space for the exact variant; the scale path
+    is lsh_topk in functions/similarity.py)."""
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    scored = pairs.withColumn("cos_sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+    return scored.where(F.col("cos_sim") >= 0.99).select("id_a", "id_b", "cos_sim")
+
+
+SQL_DEDUP_EMBEDDING_NEAR = """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+ea AS (SELECT vec_id AS id_a, embedding[u.i]::DOUBLE AS xv, u.i AS i
+       FROM e, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+eb AS (SELECT vec_id AS id_b, embedding[u.i]::DOUBLE AS xv, u.i AS i
+       FROM e, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+dots AS (
+  SELECT ea.id_a, eb.id_b,
+         sum(ea.xv * eb.xv) AS dot,
+         sqrt(sum(ea.xv * ea.xv)) AS na,
+         sqrt(sum(eb.xv * eb.xv)) AS nb
+  FROM ea JOIN eb USING (i)
+  WHERE ea.id_a < eb.id_b
+  GROUP BY ea.id_a, eb.id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.99
+"""
+
+
 # rows-only (no SQL oracle — custom distributed ops)
 
 
@@ -592,6 +675,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "embed_knn": q_embed_knn,
     "binary_blob_stats": q_binary_blob_stats,
+    "sessionize": q_sessionize,
+    "dedup_embedding_near": q_dedup_embedding_near,
     "embed_knn_lsh": q_embed_knn_lsh,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
@@ -616,5 +701,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "embed_knn": SQL_EMBED_KNN,
     "binary_blob_stats": SQL_BINARY_BLOB_STATS,
+    "sessionize": SQL_SESSIONIZE,
+    "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
     # embed_knn_lsh / dedup_simhash / multimodal_features: rows-only
 }

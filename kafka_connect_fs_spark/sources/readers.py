@@ -163,16 +163,26 @@ def read_lines(
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for r in pdf.itertuples(index=False):
-                yield from _scan_one_range(
-                    r.path,
-                    int(r.start_offset),
-                    int(r.snap_length),
-                    int(r.range_start),
-                    int(r.range_end),
-                    encoding,
-                    emit_unterminated_final_line,
-                    arrow_batch_rows,
-                )
+                try:
+                    yield from _scan_one_range(
+                        r.path,
+                        int(r.start_offset),
+                        int(r.snap_length),
+                        int(r.range_start),
+                        int(r.range_end),
+                        encoding,
+                        emit_unterminated_final_line,
+                        arrow_batch_rows,
+                    )
+                except (OSError, EOFError, ValueError) as e:
+                    # per-file error tolerance: warn + continue, offset not
+                    # advanced (the reference's FsSourceTask.java:101-105)
+                    import sys
+
+                    print(
+                        f"kcfs: skipping unreadable file range {r.path}: {e}",
+                        file=sys.stderr,
+                    )
 
     return work.mapInPandas(scan, LINE_SCHEMA)
 
@@ -591,6 +601,22 @@ EXTENSION_FORMATS = {
     "dat": "fixedwidth",
     "bin": "binary",
 }
+
+
+# Custom-parser registry — the reference's plugin surface re-expressed:
+# kafka-connect-fs loads FileReader classes by reflection from the
+# `file_reader.class` config (util/ReflectionUtils.java:18-38, contract
+# file/reader/FileReader.java:10-17). Here a plugin is a callable
+#   (spark, items: list[WorkItem], options: dict) -> DataFrame
+# registered under a format name; the engine dispatches to it like any
+# built-in. Parsers should be vectorized (mapInPandas / built-in functions).
+CUSTOM_READERS: dict[str, "Callable"] = {}
+
+from typing import Callable  # noqa: E402
+
+
+def register_reader(fmt: str, reader: Callable) -> None:
+    CUSTOM_READERS[fmt] = reader
 
 
 def format_for(path: str, overrides: dict[str, str] | None = None) -> str:

@@ -47,6 +47,7 @@ from kafka_connect_fs_spark.operators.schema_evolution import diff_schemas
 from kafka_connect_fs_spark.plans.lake import LakeTable
 from kafka_connect_fs_spark.sources.discovery import FileMeta, list_files
 from kafka_connect_fs_spark.sources.readers import (
+    CUSTOM_READERS,
     WorkItem,
     format_for,
     parse_csv,
@@ -147,6 +148,11 @@ class IngestEngine:
                 # grown file → tail from the committed offset
                 # (HdfsFileWatcherPolicy append semantics, :144-170)
                 work.append(WorkItem(f.path, w["committed_offset"], f.length))
+            elif _compressed(f.path) and not w["eof"]:
+                # compressed file whose read failed (offsets can't signal
+                # progress): retry every trigger, like the reference's
+                # warn-and-reoffer loop
+                work.append(WorkItem(f.path, w["committed_offset"], f.length))
             elif w["eof"]:
                 # already fully consumed → cleanup candidate, never re-read
                 # (AbstractPolicy.java:233-241; FsSourceTaskTest.java:260-271)
@@ -212,6 +218,11 @@ class IngestEngine:
                 )
             elif fmt == "binary":
                 event_parts.append(read_binary(self.spark, items))
+            elif fmt in CUSTOM_READERS:
+                # plugin parser (reference: file_reader.class reflection)
+                event_parts.append(
+                    CUSTOM_READERS[fmt](self.spark, items, cfg.reader_options)
+                )
             else:
                 raise ValueError(f"unknown format: {fmt}")
 
@@ -347,17 +358,28 @@ class IngestEngine:
             consumed: dict[str, int] = {r["_src_file"]: r["end"] for r in line_stats}
             wm_updates = []
             for w in work:
-                end = consumed.get(w.path, w.snap_length)
                 fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)
-                if fmt not in LINE_FORMATS:
+                if fmt in LINE_FORMATS:
+                    # a file whose read failed yields no lines → offset does
+                    # NOT advance; it is retried next trigger (reference
+                    # semantics: warn + continue)
+                    end = consumed.get(w.path, w.start_offset)
+                else:
                     end = w.snap_length
                 end = max(end, w.start_offset)
+                # compressed offsets are decompressed-bytes, so eof can't be
+                # end>=size; it means "stream fully consumed this trigger" —
+                # which requires the read to have actually succeeded
+                eof = bool(end >= snap[w.path]) or (
+                    _compressed(w.path)
+                    and (fmt not in LINE_FORMATS or w.path in consumed)
+                )
                 wm_updates.append(
                     {
                         "path": w.path,
                         "committed_offset": int(end),
                         "file_size": int(snap[w.path]),
-                        "eof": bool(end >= snap[w.path]) or _compressed(w.path),
+                        "eof": eof,
                     }
                 )
 

@@ -26,16 +26,16 @@ from kafka_connect_fs_spark.testing.generator import (
 
 def make_engine(spark, tmp_path, src_dir="src", **overrides) -> IngestEngine:
     os.makedirs(tmp_path / src_dir, exist_ok=True)
-    cfg = IngestConfig(
+    kwargs = dict(
         uris=[str(tmp_path / src_dir)],
         table_root=str(tmp_path / "table"),
         checkpoint_root=str(tmp_path / "ckpt"),
         fmt="jsonl",
         schema=CHANGE_EVENT_SCHEMA,
         n_buckets=4,
-        **overrides,
     )
-    return IngestEngine(spark, cfg)
+    kwargs.update(overrides)
+    return IngestEngine(spark, IngestConfig(**kwargs))
 
 
 def table_state(engine) -> dict:
@@ -203,3 +203,42 @@ def test_metrics_jsonl_written_with_per_bucket_lineage(spark, tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "ckpt" / "metrics.jsonl")]
     assert lines and lines[0]["rows_written"] == 10
     assert sum(lines[0]["rows_per_bucket"].values()) == 10
+
+
+def test_custom_reader_plugin(spark, tmp_path):
+    """Parser-registry parity with the reference's file_reader.class
+    reflection plugins (util/ReflectionUtils.java:18-38)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from kafka_connect_fs_spark.sources.readers import register_reader, read_lines
+
+    def pipe_reader(spark_, items, options):
+        # toy format: "conv|turn|text" lines — built from the vectorized
+        # line scanner + JVM-side split, like any real plugin would be
+        lines = read_lines(spark_, items)
+        p = F.split(F.col("value"), r"\|")
+        return lines.select(
+            "_src_file", "_src_offset",
+            p.getItem(0).alias("conv_id"),
+            p.getItem(1).cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            p.getItem(2).alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            F.lit(dt.datetime(2024, 1, 1)).alias("ts"),
+            F.lit("upsert").alias("op"),
+        )
+
+    register_reader("pipeformat", pipe_reader)
+    engine = make_engine(
+        spark, tmp_path, fmt="agnostic",
+        reader_options={"format_overrides": {"pipe": "pipeformat"}},
+    )
+    with open(tmp_path / "src" / "d.pipe", "w") as f:
+        f.write("c1|0|hello\nc1|1|world\n")
+    res = engine.run_once()
+    assert res.rows_written == 2
+    assert {(r.conv_id, r.turn_idx, r.text) for r in engine.lake.read().collect()} == {
+        ("c1", 0, "hello"), ("c1", 1, "world"),
+    }
