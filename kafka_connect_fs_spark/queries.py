@@ -600,15 +600,16 @@ FROM sess GROUP BY user_id, session_no
 
 
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.99 among the first
-    200 vectors — bounded pair space for the exact variant; the scale path
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 among the first
+    200 vectors — the synthetic embeddings have no true dups, so the
+    threshold selects the top ~1% most-similar pairs — bounded pair space for the exact variant; the scale path
     is lsh_topk in functions/similarity.py)."""
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("cos_sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
-    return scored.where(F.col("cos_sim") >= 0.99).select("id_a", "id_b", "cos_sim")
+    return scored.where(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
 
 
 SQL_DEDUP_EMBEDDING_NEAR = """
@@ -626,7 +627,7 @@ dots AS (
   WHERE ea.id_a < eb.id_b
   GROUP BY ea.id_a, eb.id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
-FROM dots WHERE round(dot / (na * nb), 4) >= 0.99
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.35
 """
 
 

@@ -81,6 +81,8 @@ class IngestConfig:
     ts_col: str = "ts"
     n_buckets: int = 16
     files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
+    bytes_per_trigger: int = 0  # 0 = unlimited (file_reader.batch_size /
+    # maxBytesPerTrigger analog: caps the tail bytes admitted per batch)
     cleanup: str = "none"  # none | move | delete (AbstractPolicy.java:45-47)
     cleanup_move_dir: str | None = None
     emit_unterminated_final_line: bool = True
@@ -160,6 +162,15 @@ class IngestEngine:
         cap = self.config.files_per_trigger
         if cap and len(work) > cap:
             work = work[:cap]  # listing is path-sorted → deterministic batching
+        bcap = self.config.bytes_per_trigger
+        if bcap:
+            out, total = [], 0
+            for w in work:
+                if out and total + (w.snap_length - w.start_offset) > bcap:
+                    break
+                out.append(w)
+                total += w.snap_length - w.start_offset
+            work = out  # remainder picked up next trigger (offsets unchanged)
         return work, finished
 
     # --------------------------------------------------------------- reading

@@ -242,3 +242,16 @@ def test_custom_reader_plugin(spark, tmp_path):
     assert {(r.conv_id, r.turn_idx, r.text) for r in engine.lake.read().collect()} == {
         ("c1", 0, "hello"), ("c1", 1, "world"),
     }
+
+
+def test_bytes_per_trigger_caps_batch(spark, tmp_path):
+    """file_reader.batch_size / maxBytesPerTrigger analog: admit at most N
+    tail bytes per trigger; the remainder arrives next trigger."""
+    engine = make_engine(spark, tmp_path, bytes_per_trigger=1)  # 1 byte → 1 file/batch
+    rows = transcript_change_events(6, 2)
+    per = len(rows) // 3
+    for i in range(3):
+        write_jsonl(rows[i * per : (i + 1) * per], str(tmp_path / "src" / f"f{i}.jsonl"))
+    results = [engine.run_once() for _ in range(3)]
+    assert [r.n_files for r in results] == [1, 1, 1]
+    assert_matches_oracle(engine, rows)
