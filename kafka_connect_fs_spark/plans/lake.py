@@ -208,8 +208,10 @@ class LakeTable:
         )
 
     def read(self) -> DataFrame:
-        """User-facing view: lineage/bucket columns dropped."""
+        """User-facing view: tombstones filtered, lineage/bucket dropped."""
         df = self.snapshot()
+        if _OP_COL in df.columns:
+            df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
         return df.drop(*drop)
 
@@ -262,7 +264,10 @@ class LakeTable:
             merged_in = src
 
         resolved = lww_dedup(merged_in, self.keys, self.ts_col)
-        resolved = resolved.filter(F.col(_OP_COL) != F.lit("delete")).drop(_OP_COL)
+        # deletes persist as TOMBSTONES (op='delete' rows): an older upsert
+        # replayed later must NOT resurrect the key, so the delete has to
+        # keep winning LWW. read() filters them out; a compaction policy can
+        # expire tombstones older than the max replay horizon.
         # recompute bucket post-union (schema-evolution may have nulled it on
         # old rows only in pathological cases; cheap and safe)
         resolved = resolved.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))

@@ -149,3 +149,14 @@ def test_vacuum_removes_dead_files(spark, table):
     table.merge(edf(spark, [ev("c1", 0, "b", 2)]), "b2")
     assert table.vacuum() >= 1
     assert table.read().collect()[0].text == "b"
+
+
+def test_delete_tombstone_blocks_older_upsert_resurrection(spark, table):
+    """An upsert REPLAYED AFTER a delete but carrying an OLDER ts must not
+    resurrect the key — deletes persist as tombstones that keep winning LWW."""
+    table.merge(edf(spark, [ev("c1", 0, "killed", 10, op="delete")]), "b1")
+    table.merge(edf(spark, [ev("c1", 0, "zombie", 5)]), "b2")  # older ts
+    assert table.read().where("conv_id = 'c1'").count() == 0
+    # but a genuinely NEWER upsert does revive the key
+    table.merge(edf(spark, [ev("c1", 0, "reborn", 20)]), "b3")
+    assert table.read().collect()[0].text == "reborn"
