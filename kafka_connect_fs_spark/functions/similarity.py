@@ -12,6 +12,7 @@
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve 'pd.Series'
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -92,6 +93,39 @@ def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
     return F.concat_ws("", F.lit(str(table)), F.lit("#"), *bits)
 
 
+def _lsh_buckets_pandas(df: DataFrame, vec_col: str, n_tables: int, n_planes: int, dim: int) -> DataFrame:
+    """All (table, plane) projections as ONE numpy matmul per Arrow batch:
+    V[batch, dim] @ H.T[dim, tables*planes] → sign bits → bucket strings.
+    Replaces tables×planes interpreted aggregate-lambdas per row."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array(
+        [
+            _hyperplane_signs(t, p, dim)
+            for t in range(n_tables)
+            for p in range(n_planes)
+        ],
+        dtype=np.float64,
+    )  # [tables*planes, dim]
+
+    @pandas_udf("array<string>")
+    def buckets(v: pd.Series) -> pd.Series:
+        V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        bits = (V @ H.T) >= 0  # [n, tables*planes]
+        out = []
+        for row in bits:
+            out.append(
+                [
+                    f"{t}#" + "".join("1" if b else "0" for b in row[t * n_planes : (t + 1) * n_planes])
+                    for t in range(n_tables)
+                ]
+            )
+        return pd.Series(out)
+
+    return df.withColumn("_buckets", buckets(F.col(vec_col)))
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -108,13 +142,12 @@ def lsh_topk(
     candidates. Recall grows with n_tables; cost stays ~linear in corpus."""
     if dim is None:
         dim = queries.select(F.size(F.col(vec_q))).first()[0]
-    q_b = None
-    c_b = None
-    for t in range(n_tables):
-        qb = queries.withColumn("bucket", lsh_bucket(F.col(vec_q), t, n_planes, dim))
-        cb = corpus.withColumn("bucket", lsh_bucket(F.col(vec_n), t, n_planes, dim))
-        q_b = qb if q_b is None else q_b.unionByName(qb)
-        c_b = cb if c_b is None else c_b.unionByName(cb)
+    q_b = _lsh_buckets_pandas(queries, vec_q, n_tables, n_planes, dim).select(
+        "*", F.explode("_buckets").alias("bucket")
+    ).drop("_buckets")
+    c_b = _lsh_buckets_pandas(corpus, vec_n, n_tables, n_planes, dim).select(
+        "*", F.explode("_buckets").alias("bucket")
+    ).drop("_buckets")
     cand = (
         q_b.join(c_b, "bucket")
         .where(F.col(q_id) != F.col(n_id))

@@ -277,8 +277,12 @@ class LakeTable:
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         try:
             (
+                # repartition by bucket WITHOUT pinning the partition count:
+                # AQE coalesces small batches and splits huge/skewed buckets
+                # across tasks (multiple files per bucket dir is fine — the
+                # log tracks files, not dirs)
                 resolved.withColumn("_pb", F.col(_BUCKET_COL))
-                .repartition(max(len(affected), 1), F.col(_BUCKET_COL))
+                .repartition(F.col(_BUCKET_COL))
                 .write.partitionBy("_pb")
                 .mode("overwrite")
                 .parquet(cdir)
