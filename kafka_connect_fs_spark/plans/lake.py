@@ -356,6 +356,87 @@ class LakeTable:
                 schema[old].name = new  # type: ignore[misc]
         return schema
 
+    # ----------------------------------------------------------- maintenance
+    def compact(self, min_files_per_bucket: int = 2) -> Commit | None:
+        """Rewrite buckets fragmented across ≥ min_files_per_bucket files
+        into one file each — the lakehouse small-files compaction (Iceberg's
+        rewrite_data_files). Logical content unchanged; commit is
+        batch_id=None (maintenance)."""
+        live, _, _ = self._state()
+        by_bucket: dict[int, list[str]] = {}
+        for p, a in live.items():
+            by_bucket.setdefault(a["bucket"], []).append(p)
+        targets = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files_per_bucket}
+        if not targets:
+            return None
+        old_files = [p for ps in targets.values() for p in ps]
+        df = self._read_files(old_files)
+        version = self.latest_version() + 1
+        cdir_rel = f"c{version:020d}"
+        cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        (
+            df.withColumn("_pb", F.col(_BUCKET_COL))
+            .repartition(len(targets), F.col(_BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
+        added = self._scan_written(cdir, cdir_rel)
+        commit = Commit(
+            version=version,
+            batch_id=None,
+            added=added,
+            removed=old_files,
+            schema_json=None,
+            metrics={
+                "compaction": True,
+                "files_removed": len(old_files),
+                "files_added": len(added),
+            },
+        )
+        self._write_commit(commit)
+        return commit
+
+    def expire_tombstones(self, older_than) -> Commit | None:
+        """Drop op='delete' tombstones with ts < older_than (safe once no
+        replay can carry events older than the horizon). Rewrites only
+        buckets that contain expired tombstones."""
+        snap = self.snapshot()
+        if _OP_COL not in snap.columns:
+            return None
+        expired = snap.filter(
+            (F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than))
+        )
+        buckets = [r[0] for r in expired.select(_BUCKET_COL).distinct().collect()]
+        if not buckets:
+            return None
+        live, _, _ = self._state()
+        old_files = [p for p, a in live.items() if a["bucket"] in buckets]
+        df = self._read_files(old_files).filter(
+            ~((F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than)))
+        )
+        version = self.latest_version() + 1
+        cdir_rel = f"c{version:020d}"
+        cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        (
+            df.withColumn("_pb", F.col(_BUCKET_COL))
+            .repartition(max(len(buckets), 1), F.col(_BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
+        added = self._scan_written(cdir, cdir_rel)
+        commit = Commit(
+            version=version,
+            batch_id=None,
+            added=added,
+            removed=old_files,
+            schema_json=None,
+            metrics={"tombstones_expired": True, "buckets": len(buckets)},
+        )
+        self._write_commit(commit)
+        return commit
+
     # ---------------------------------------------------------------- utils
     def history(self) -> list[dict]:
         return [c.__dict__ for c in self.commits()]

@@ -160,3 +160,31 @@ def test_delete_tombstone_blocks_older_upsert_resurrection(spark, table):
     # but a genuinely NEWER upsert does revive the key
     table.merge(edf(spark, [ev("c1", 0, "reborn", 20)]), "b3")
     assert table.read().collect()[0].text == "reborn"
+
+
+def test_compact_rewrites_buckets(spark, table):
+    # copy-on-write keeps one file per bucket per commit; different convs
+    # land in different buckets across commits
+    for i in range(6):
+        table.merge(edf(spark, [ev(f"c{i}", 0, f"t{i}", i + 1)]), f"b{i}")
+    before = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    c = table.compact(min_files_per_bucket=1)
+    assert c is not None and c.metrics["compaction"]
+    after = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
+    assert after == before  # logical content unchanged
+    live, _, _ = table._state()
+    buckets = {}
+    for a in live.values():
+        buckets[a["bucket"]] = buckets.get(a["bucket"], 0) + 1
+    assert all(n == 1 for n in buckets.values())
+    # idempotent-ish: nothing left above the threshold afterwards
+    assert table.compact(min_files_per_bucket=2) is None
+
+
+def test_expire_tombstones(spark, table):
+    table.merge(edf(spark, [ev("c1", 0, "x", 1, op="delete"), ev("c2", 0, "keep", 2)]), "b1")
+    assert table.snapshot().filter("op = 'delete'").count() == 1
+    c = table.expire_tombstones(ts(100))
+    assert c is not None
+    assert table.snapshot().filter("op = 'delete'").count() == 0
+    assert {r.conv_id for r in table.read().collect()} == {"c2"}
