@@ -255,3 +255,27 @@ def test_bytes_per_trigger_caps_batch(spark, tmp_path):
     results = [engine.run_once() for _ in range(3)]
     assert [r.n_files for r in results] == [1, 1, 1]
     assert_matches_oracle(engine, rows)
+
+
+def test_crash_during_merge_write_leaves_no_partial_state(spark, tmp_path):
+    """A crash mid-write (data files on disk, no commit log entry) must be
+    invisible: the next run re-plans the same batch, the orphan files are
+    never referenced, and vacuum removes them."""
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(5, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+
+    # simulate: partial write of a failed attempt with no commit record
+    # (a same-version retry is cleaned by the write's own overwrite mode;
+    # this one has a version that is never retried)
+    orphan_dir = tmp_path / "table" / "data" / f"c{99:020d}" / "_pb=0"
+    os.makedirs(orphan_dir)
+    spark.createDataFrame([(1,)], "x int").coalesce(1).write.mode("overwrite").parquet(
+        str(orphan_dir / "junk")
+    )
+
+    engine.run_once()
+    assert_matches_oracle(engine, rows)
+    removed = engine.lake.vacuum()
+    assert removed >= 1  # orphans gone
+    assert_matches_oracle(engine, rows)  # and the table is intact

@@ -117,3 +117,14 @@ def test_multimodal_feature_extraction_plumbing(spark, docs):
 def test_real_decoder_stub_raises():
     with pytest.raises(NotImplementedError):
         M.real_decoder_stub("image", b"...")
+
+
+def test_lsh_topk_recall_vs_exact(spark):
+    """ANN quality gate: LSH recall@5 vs brute force on real-ish vectors."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    exact = {(r.q_id, r.n_id) for r in S.cosine_topk(q, c, k=5).collect()}
+    approx = {(r.q_id, r.n_id) for r in S.lsh_topk(q, c, k=5, n_tables=8, n_planes=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 8 tables × 4 planes on 64-dim random data
