@@ -149,7 +149,10 @@ def main() -> None:
     from kafka_connect_fs_spark.session import get_spark
 
     result = {
-        "metric": "change-events/sec sustained MERGE-apply into lake table",
+        # `value` is the wall-seconds of the full query sweep (unit: sec);
+        # the MERGE-apply throughput in events/sec lives under
+        # `ingest.events_per_sec` (and `scaling.*` with SPARK_GRAFT_SCALING=1)
+        "metric": "query-sweep seconds (ingest.events_per_sec = sustained MERGE-apply change-events/sec)",
         "unit": "sec",
         "sf": sf,
     }

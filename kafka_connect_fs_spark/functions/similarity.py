@@ -141,7 +141,15 @@ def lsh_topk(
     """Approximate top-k: bucket-join per hash table, exact re-rank within
     candidates. Recall grows with n_tables; cost stays ~linear in corpus."""
     if dim is None:
-        dim = queries.select(F.size(F.col(vec_q))).first()[0]
+        first = queries.select(F.size(F.col(vec_q))).first()
+        if first is None:  # empty query set → empty result, like cosine_topk
+            return queries.select(
+                F.col(q_id),
+                F.lit(None).cast("long").alias(n_id),
+                F.lit(None).cast("double").alias("cos_sim"),
+                F.lit(None).cast("int").alias("rank"),
+            ).limit(0)
+        dim = first[0]
     q_b = _lsh_buckets_pandas(queries, vec_q, n_tables, n_planes, dim).select(
         "*", F.explode("_buckets").alias("bucket")
     ).drop("_buckets")

@@ -186,7 +186,12 @@ class LakeTable:
         df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
         _, _, renames = self._state()
         for old, new in renames.items():
-            if old in df.columns:
+            if old in df.columns and new in df.columns:
+                # files written before AND after the rename coexist (renames
+                # are metadata-only; merges rewrite buckets lazily): fold the
+                # old physical column into the new one
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
                 df = df.withColumnRenamed(old, new)
         return df
 
@@ -247,7 +252,14 @@ class LakeTable:
         # persist: the source feeds two jobs (bucket discovery + the merge
         # write) — don't recompute the upstream parse twice
         src = src.persist()
+        try:
+            return self._merge_persisted(src, batch_id, app_metadata)
+        finally:
+            src.unpersist()
 
+    def _merge_persisted(
+        self, src: DataFrame, batch_id: str | None, app_metadata: dict | None
+    ) -> Commit:
         # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
         affected = sorted(
             r[0] for r in src.select(_BUCKET_COL).distinct().collect()
@@ -275,20 +287,17 @@ class LakeTable:
         version = self.latest_version() + 1
         cdir_rel = f"c{version:020d}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
-        try:
-            (
-                # repartition by bucket WITHOUT pinning the partition count:
-                # AQE coalesces small batches and splits huge/skewed buckets
-                # across tasks (multiple files per bucket dir is fine — the
-                # log tracks files, not dirs)
-                resolved.withColumn("_pb", F.col(_BUCKET_COL))
-                .repartition(F.col(_BUCKET_COL))
-                .write.partitionBy("_pb")
-                .mode("overwrite")
-                .parquet(cdir)
-            )
-        finally:
-            src.unpersist()
+        (
+            # repartition by bucket WITHOUT pinning the partition count:
+            # AQE coalesces small batches and splits huge/skewed buckets
+            # across tasks (multiple files per bucket dir is fine — the
+            # log tracks files, not dirs)
+            resolved.withColumn("_pb", F.col(_BUCKET_COL))
+            .repartition(F.col(_BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
 
         added = self._scan_written(cdir, cdir_rel)
         commit = Commit(

@@ -160,29 +160,28 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(base, "src")
     os.makedirs(src)
     try:
-        ev = _transcript_events(t(spark, sf_dir, "events")).orderBy("event_id")
-        rows = ev.collect()
-        n_files = 4
-        per = (len(rows) + n_files - 1) // n_files
-        import json as _json
-
-        for i in range(n_files):
-            with open(os.path.join(src, f"part-{i:03d}.jsonl"), "w") as f:
-                for r in rows[i * per : (i + 1) * per]:
-                    f.write(
-                        _json.dumps(
-                            {
-                                "op": "upsert",
-                                "conv_id": r.conv_id,
-                                "turn_idx": r.turn_idx,
-                                "role": r.role,
-                                "text": r.text,
-                                "tool": None,
-                                "ts": r.ts.strftime("%Y-%m-%dT%H:%M:%S.%f"),
-                            }
-                        )
-                        + "\n"
-                    )
+        # distributed file synthesis: range-partition + sort by event_id so
+        # the lexicographic (src_file, src_offset) order equals event_id
+        # order — keeping the engine's LWW tie-break aligned with the
+        # oracle's ORDER BY ts DESC, event_id DESC
+        ev = _transcript_events(t(spark, sf_dir, "events"))
+        jsonl = ev.select(
+            F.lit("upsert").alias("op"),
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lit(None).cast("string").alias("tool"),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            "event_id",
+        )
+        (
+            jsonl.repartitionByRange(4, "event_id")
+            .sortWithinPartitions("event_id")
+            .drop("event_id")
+            .write.mode("overwrite")
+            .json(src)
+        )
         engine = IngestEngine(
             spark,
             IngestConfig(

@@ -71,11 +71,19 @@ def _local_path(uri: str) -> str:
     return uri[len("file://"):] if uri.startswith("file://") else uri
 
 
+def _hidden(name: str) -> bool:
+    # Hadoop/Spark convention: '_'-/'.'-prefixed files are metadata
+    # (_SUCCESS, .crc, ._COPYING_ — the reference also excludes in-flight
+    # ._COPYING_ files, HdfsFileWatcherPolicy.java:150)
+    return name.startswith(".") or name.startswith("_")
+
+
 def list_files(
     uris: list[str] | str,
     regexp: str = ".*",
     recursive: bool = True,
     now: dt.datetime | None = None,
+    include_hidden: bool = False,
 ) -> list[FileMeta]:
     """List files under each URI, filtering by regex on the file *name*.
 
@@ -90,15 +98,15 @@ def list_files(
     for uri in uris:
         uri = expand_dynamic_uri(uri, now)
         if "://" in uri and not uri.startswith("file://"):
-            out.extend(_list_pyarrow(uri, pat, recursive))
+            out.extend(_list_pyarrow(uri, pat, recursive, include_hidden))
         else:
-            out.extend(_list_local(_local_path(uri), pat, recursive))
+            out.extend(_list_local(_local_path(uri), pat, recursive, include_hidden))
     # stable order: the reference iterates listing order; we pin path order
     # so batching (take-first-N files per trigger) is deterministic.
     return sorted(out, key=lambda f: f.path)
 
 
-def _list_local(root: str, pat: re.Pattern, recursive: bool) -> list[FileMeta]:
+def _list_local(root: str, pat: re.Pattern, recursive: bool, include_hidden: bool = False) -> list[FileMeta]:
     out: list[FileMeta] = []
     if not os.path.exists(root):
         return out
@@ -119,20 +127,24 @@ def _list_local(root: str, pat: re.Pattern, recursive: bool) -> list[FileMeta]:
                 if recursive:
                     stack.append(e.path)
             else:
+                if not include_hidden and _hidden(e.name):
+                    continue
                 st = e.stat()
                 if statmod.S_ISREG(st.st_mode) and pat.search(e.name):
                     out.append(FileMeta(e.path, st.st_size, st.st_mtime))
     return out
 
 
-def _list_pyarrow(uri: str, pat: re.Pattern, recursive: bool) -> list[FileMeta]:
+def _list_pyarrow(uri: str, pat: re.Pattern, recursive: bool, include_hidden: bool = False) -> list[FileMeta]:
     import pyarrow.fs as pafs
 
     fs, path = pafs.FileSystem.from_uri(uri)
     sel = pafs.FileSelector(path, recursive=recursive, allow_not_found=True)
     out = []
     for info in fs.get_file_info(sel):
-        if info.type == pafs.FileType.File and pat.search(info.base_name):
+        if info.type == pafs.FileType.File and pat.search(info.base_name) and (
+            include_hidden or not _hidden(info.base_name)
+        ):
             mtime = info.mtime.timestamp() if info.mtime else 0.0
             out.append(FileMeta(f"{fs.type_name}://{info.path}", info.size, mtime))
     return out

@@ -43,6 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# sentinel _line_no values for per-range outcome markers (never real lines)
+LINE_NO_RANGE_OK = -2
+LINE_NO_RANGE_FAILED = -1
+
 LINE_SCHEMA = T.StructType(
     [
         T.StructField("_src_file", T.StringType(), False),
@@ -148,12 +152,18 @@ def read_lines(
     emit_unterminated_final_line: bool = True,
     max_split_bytes: int = 128 * 1024 * 1024,
     arrow_batch_rows: int = 10_000,
+    with_markers: bool = False,
 ) -> DataFrame:
     """Distributed byte-range line scan → DataFrame of raw lines + lineage.
 
     Replaces TextFileReader/UnivocityFileReader's iterator loop
     (TextFileReader.java:80-112). ``_src_offset``/``_src_end`` are byte
     offsets in the decompressed stream — the resume watermark unit.
+
+    With ``with_markers=True`` each range additionally emits one outcome
+    row (``_line_no`` = LINE_NO_RANGE_OK / LINE_NO_RANGE_FAILED, value
+    NULL) so a caller tracking resume offsets can detect failed ranges and
+    refuse to commit past them (the engine does).
     """
     rows = plan_line_splits(items, max_split_bytes)
     if not rows:
@@ -174,17 +184,36 @@ def read_lines(
                         emit_unterminated_final_line,
                         arrow_batch_rows,
                     )
+                    marker = LINE_NO_RANGE_OK
                 except (OSError, EOFError, ValueError) as e:
                     # per-file error tolerance: warn + continue, offset not
                     # advanced (the reference's FsSourceTask.java:101-105)
                     import sys
 
                     print(
-                        f"kcfs: skipping unreadable file range {r.path}: {e}",
+                        f"kcfs: unreadable file range {r.path}: {e}",
                         file=sys.stderr,
                     )
+                    marker = LINE_NO_RANGE_FAILED
+                # every range reports its outcome: the engine only advances a
+                # file's offset when NO range of it failed — a failed early
+                # split with a successful later split must not commit past
+                # the hole (the whole tail is re-read next trigger; the
+                # idempotent LWW MERGE makes the partial emit harmless)
+                yield pd.DataFrame(
+                    {
+                        "_src_file": [r.path],
+                        "_src_offset": [int(r.range_start)],
+                        "_src_end": [int(r.range_start)],
+                        "_line_no": [marker],
+                        "value": [None],
+                    }
+                )
 
-    return work.mapInPandas(scan, LINE_SCHEMA)
+    out = work.mapInPandas(scan, LINE_SCHEMA)
+    if not with_markers:
+        out = out.filter(F.col("_line_no") >= 0)
+    return out
 
 
 def _scan_one_range(
@@ -442,7 +471,20 @@ def parse_whole_file_records(
             for src, off, end, content in zip(
                 pdf["_src_file"], pdf["_src_offset"], pdf["_src_end"], pdf["content"]
             ):
-                for i, js in enumerate(_records_to_json_lines(bytes(content), fmt, opts)):
+                try:
+                    recs = _records_to_json_lines(bytes(content), fmt, opts)
+                except Exception as e:  # malformed yaml/xml/json document
+                    # poison-file policy: warn + zero records. Unlike line
+                    # formats (retried from the committed offset), a corrupt
+                    # whole-file document can never become parseable, so it
+                    # is marked consumed rather than blocking the pipeline
+                    # forever (divergence from the reference's infinite
+                    # re-offer, documented).
+                    import sys
+
+                    print(f"kcfs: unparseable {fmt} file {src}: {e}", file=sys.stderr)
+                    continue
+                for i, js in enumerate(recs):
                     rows.append((src, int(off), int(end), i, js))
             if rows:
                 yield pd.DataFrame(

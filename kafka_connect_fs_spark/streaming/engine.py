@@ -48,6 +48,7 @@ from kafka_connect_fs_spark.plans.lake import LakeTable
 from kafka_connect_fs_spark.sources.discovery import FileMeta, list_files
 from kafka_connect_fs_spark.sources.readers import (
     CUSTOM_READERS,
+    LINE_NO_RANGE_FAILED,
     WorkItem,
     format_for,
     parse_csv,
@@ -105,6 +106,7 @@ class BatchResult:
     recovered: bool = False
     cleaned: list[str] = field(default_factory=list)
     duration_s: float = 0.0
+    schema_diff: dict | None = None
 
 
 class IngestEngine:
@@ -166,10 +168,17 @@ class IngestEngine:
         if bcap:
             out, total = [], 0
             for w in work:
-                if out and total + (w.snap_length - w.start_offset) > bcap:
+                # compressed offsets are decompressed-bytes while snap_length
+                # is compressed: count the full compressed re-read cost there
+                size = (
+                    w.snap_length
+                    if _compressed(w.path)
+                    else max(0, w.snap_length - w.start_offset)
+                )
+                if out and total + size > bcap:
                     break
                 out.append(w)
-                total += w.snap_length - w.start_offset
+                total += size
             work = out  # remainder picked up next trigger (offsets unchanged)
         return work, finished
 
@@ -194,10 +203,14 @@ class IngestEngine:
                     encoding=cfg.reader_options.get("encoding", "utf-8"),
                     emit_unterminated_final_line=cfg.emit_unterminated_final_line,
                     max_split_bytes=cfg.max_split_bytes,
+                    with_markers=True,
                 )
                 lines = lines.persist()
                 lines_parts.append(lines)
-                event_parts.append(self._parse_lines(fmt, lines))
+                # range-outcome markers (_line_no < 0) are bookkeeping, not records
+                event_parts.append(
+                    self._parse_lines(fmt, lines.filter(F.col("_line_no") >= 0))
+                )
             elif fmt in WHOLE_FILE_FORMATS:
                 files_df = read_whole_files(self.spark, items)
                 if fmt == "text_whole":
@@ -322,21 +335,35 @@ class IngestEngine:
             if cfg.transform is not None:
                 events = cfg.transform(events)
 
-            # one stats pass over the cached raw lines yields BOTH the
-            # record count and the per-file consumed offsets (no separate
-            # count() job); only mixed/columnar batches need events.count()
-            all_line_formats = lines_df is not None and all(
-                (cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)) in LINE_FORMATS
-                for w in work
-            )
+            # one stats pass over the cached raw lines yields the per-file
+            # consumed offsets, the per-range failure flags, AND the record
+            # count (no separate count() job on the fast path)
+            fmts = {
+                (cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)) for w in work
+            }
             line_stats = []
             if lines_df is not None:
                 line_stats = (
                     lines_df.groupBy("_src_file")
-                    .agg(F.max("_src_end").alias("end"), F.count(F.lit(1)).alias("cnt"))
+                    .agg(
+                        F.max("_src_end").alias("end"),
+                        # real records only (markers have _line_no < 0)
+                        F.count(F.when(F.col("_line_no") >= 0, 1)).alias("cnt"),
+                        F.count(
+                            F.when(F.col("_line_no") == LINE_NO_RANGE_FAILED, 1)
+                        ).alias("n_failed_ranges"),
+                    )
                     .collect()
                 )
-            if all_line_formats:
+            # fast count only where 1 raw line == 1 record and no transform
+            # drops rows (csv/tsv headers and custom transforms change the
+            # record count)
+            fast_count = (
+                cfg.transform is None
+                and lines_df is not None
+                and fmts <= {"jsonl", "text"}
+            )
+            if fast_count:
                 n_events = sum(r["cnt"] for r in line_stats)
             else:
                 n_events = events.count()
@@ -354,36 +381,53 @@ class IngestEngine:
             schema_diff = None
             tbl_schema = self.lake.current_schema()
             if tbl_schema is not None:
-                incoming = T.StructType(
-                    [f for f in events.schema.fields if not f.name.startswith("_")]
+                strip = {"op", *(c for c in ("_src_file", "_src_offset"))}
+                tbl_clean = T.StructType(
+                    [
+                        f
+                        for f in tbl_schema.fields
+                        if f.name not in strip and not f.name.startswith("_")
+                    ]
                 )
-                d = diff_schemas(tbl_schema, incoming, cfg.rename_hints)
+                incoming = T.StructType(
+                    [
+                        f
+                        for f in events.schema.fields
+                        if f.name not in strip and not f.name.startswith("_")
+                    ]
+                )
+                d = diff_schemas(tbl_clean, incoming, cfg.rename_hints)
                 for old, new in d.renamed.items():
                     self.lake.rename_column(old, new)
                 if not d.is_noop:
                     schema_diff = d.to_dict()
 
-            # per-file consumed offsets from the same stats pass (includes
-            # header/skipped lines); whole-file and columnar formats commit
-            # the full snapshot length
+            # per-file consumed offsets + failure flags from the stats pass;
+            # whole-file and columnar formats commit the full snapshot length
             consumed: dict[str, int] = {r["_src_file"]: r["end"] for r in line_stats}
+            failed: set[str] = {
+                r["_src_file"] for r in line_stats if r["n_failed_ranges"] > 0
+            }
             wm_updates = []
             for w in work:
                 fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)
                 if fmt in LINE_FORMATS:
-                    # a file whose read failed yields no lines → offset does
-                    # NOT advance; it is retried next trigger (reference
-                    # semantics: warn + continue)
-                    end = consumed.get(w.path, w.start_offset)
+                    if w.path in failed:
+                        # ANY failed range ⇒ no progress for the whole file:
+                        # it is re-read from the committed offset next
+                        # trigger (reference semantics: warn + continue; the
+                        # idempotent MERGE absorbs the partial emit)
+                        end = w.start_offset
+                    else:
+                        end = consumed.get(w.path, w.start_offset)
                 else:
                     end = w.snap_length
                 end = max(end, w.start_offset)
                 # compressed offsets are decompressed-bytes, so eof can't be
-                # end>=size; it means "stream fully consumed this trigger" —
-                # which requires the read to have actually succeeded
+                # end>=size; it means "stream fully consumed this trigger",
+                # i.e. every range of the file read successfully
                 eof = bool(end >= snap[w.path]) or (
-                    _compressed(w.path)
-                    and (fmt not in LINE_FORMATS or w.path in consumed)
+                    _compressed(w.path) and w.path not in failed
                 )
                 wm_updates.append(
                     {
@@ -408,7 +452,7 @@ class IngestEngine:
         res = BatchResult(
             batch_id, seq, len(work), n_events,
             commit.metrics.get("rows_written", 0), cleaned=cleaned,
-            duration_s=time.monotonic() - t0,
+            duration_s=time.monotonic() - t0, schema_diff=schema_diff,
         )
         self._log_metrics(res, commit.metrics, added=commit.added)
         return res
@@ -454,6 +498,8 @@ class IngestEngine:
             "duration_s": round(res.duration_s, 4),
             "merge": merge_metrics,
         }
+        if res.schema_diff:
+            rec["schema_diff"] = res.schema_diff
         if added:
             per_bucket: dict[int, int] = {}
             for a in added:

@@ -279,3 +279,83 @@ def test_crash_during_merge_write_leaves_no_partial_state(spark, tmp_path):
     removed = engine.lake.vacuum()
     assert removed >= 1  # orphans gone
     assert_matches_oracle(engine, rows)  # and the table is intact
+
+
+def test_unreadable_file_does_not_advance_offset(spark, tmp_path, monkeypatch):
+    """Code-review regression: a file whose read fails (here: vanished
+    between listing and read — a real race) must keep its committed offset,
+    marked not-eof, and be retried; readable neighbors still ingest. The
+    range-outcome markers generalize this to multi-split files: ANY failed
+    range pins the offset at the hole."""
+    import kafka_connect_fs_spark.streaming.engine as E
+    from kafka_connect_fs_spark.sources.discovery import FileMeta
+
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(5, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "good.jsonl"))
+    phantom = str(tmp_path / "src" / "vanished.jsonl")
+
+    real_list = E.list_files
+
+    def list_with_phantom(*a, **kw):
+        return sorted(
+            real_list(*a, **kw) + [FileMeta(phantom, 1000, 0.0)],
+            key=lambda f: f.path,
+        )
+
+    monkeypatch.setattr(E, "list_files", list_with_phantom)
+    r1 = engine.run_once()
+    assert r1.rows_written == 10  # good file ingested despite the failure
+    wm = {r.path: r for r in engine.watermarks.load().collect()}
+    assert wm[phantom].committed_offset == 0 and wm[phantom].eof is False
+    # retried on the next trigger (still failing → still pinned at 0)
+    r2 = engine.run_once()
+    assert r2.n_files == 1
+    monkeypatch.setattr(E, "list_files", real_list)
+    assert_matches_oracle(engine, rows)
+
+
+def test_rename_with_mixed_generation_files_reads_coalesced(spark, tmp_path):
+    """Code-review regression: after a metadata-only rename, buckets written
+    before the rename still physically contain the old column; reads must
+    coalesce old into new instead of producing duplicate columns."""
+    engine = make_engine(spark, tmp_path, rename_hints={"tool": "tool_name"})
+    rows = transcript_change_events(8, 2)  # spread across several buckets
+    # make tool non-null so the coalesce is observable
+    for r in rows:
+        r["tool"] = f"t_{r['turn_idx']}"
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+
+    # batch 2: new name, touching only SOME buckets
+    import datetime as dt
+    import json as _json
+
+    base = max(r["ts"] for r in rows)
+    with open(tmp_path / "src" / "b.jsonl", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "op": "upsert", "conv_id": rows[0]["conv_id"], "turn_idx": 0,
+                    "role": "user", "text": "evolved", "tool_name": "newtool",
+                    "ts": (base + dt.timedelta(seconds=1)).strftime("%Y-%m-%dT%H:%M:%S.%f"),
+                }
+            )
+            + "\n"
+        )
+    from pyspark.sql import types as T
+
+    from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
+
+    schema_v2 = T.StructType(
+        [f for f in CHANGE_EVENT_SCHEMA.fields if f.name != "tool"]
+    ).add("tool_name", T.StringType())
+    engine.config.schema = schema_v2
+    engine.run_once()
+
+    df = engine.lake.read()
+    assert df.columns.count("tool_name") == 1 and "tool" not in df.columns
+    vals = {(r.conv_id, r.turn_idx): r.tool_name for r in df.collect()}
+    # old-generation rows keep their pre-rename values via coalesce
+    assert vals[(rows[0]["conv_id"], 0)] == "newtool"
+    assert all(v is not None for v in vals.values())
