@@ -24,3 +24,20 @@ __version__ = "0.1.0"
 TRANSCRIPT_COLUMNS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 TRANSCRIPT_KEYS = ("conv_id", "turn_idx")
 TRANSCRIPT_TS = "ts"
+
+
+def __getattr__(name):
+    # convenience top-level API without import-time pyspark dependency cost
+    if name in ("IngestEngine", "IngestConfig"):
+        from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+        return {"IngestEngine": IngestEngine, "IngestConfig": IngestConfig}[name]
+    if name == "LakeTable":
+        from kafka_connect_fs_spark.plans.lake import LakeTable
+
+        return LakeTable
+    if name == "get_spark":
+        from kafka_connect_fs_spark.session import get_spark
+
+        return get_spark
+    raise AttributeError(name)
