@@ -35,7 +35,7 @@ import os
 import re
 import uuid
 from dataclasses import dataclass, field
-from typing import Any, Sequence
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import bz2
 import gzip
-import io
 import json
 import os
 from dataclasses import dataclass
@@ -308,6 +307,61 @@ def _scan_one_range(
                 "value": vals.values,
             }
         )
+
+
+def read_line_format_native(
+    spark: SparkSession,
+    items: list[WorkItem],
+    fmt: str,
+    schema: T.StructType | None,
+    options: dict | None = None,
+) -> DataFrame:
+    """JVM-native whole-file fast path for line formats (jsonl/csv/tsv/text).
+
+    Files being read from offset 0 (new or rotated — the dominant case) need
+    no byte-offset tracking: the whole file is consumed, so the watermark
+    commits snap_length directly. That lets the scan use Spark's native
+    text/json/csv datasources — vectorized, whole-stage-codegen, no
+    Python/Arrow round-trip — instead of the mapInPandas byte-range scanner
+    (which remains the *tail* path, where byte offsets are the resume unit).
+
+    Lineage: ``_src_offset`` is ``monotonically_increasing_id`` — a
+    deterministic, file-order-correlated ordinal (stable for an identical
+    file set + split config), used only as the LWW tie-break. Ordinals are
+    < #bytes of the file, so tail reads appended later (byte offsets ≥ old
+    file length) still sort after them.
+    """
+    o = dict(options or {})
+    paths = [w.path for w in items]
+    if not paths:
+        return spark.createDataFrame([], schema or T.StructType([]))
+    if fmt == "jsonl":
+        reader = spark.read.option("ignoreMissingFiles", "true")
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.options(**o.get("json_options", {}) or {}).json(paths)
+    elif fmt in ("csv", "tsv"):
+        opts = {
+            "sep": o.get("sep", "\t" if fmt == "tsv" else ","),
+            "header": str(o.get("header", True)).lower(),
+            "mode": "PERMISSIVE",
+        }
+        opts.update(o.get("csv_options", {}) or {})
+        reader = spark.read.options(**opts)
+        if schema is not None:
+            reader = reader.schema(schema)
+        df = reader.csv(paths)
+    elif fmt == "text":
+        df = spark.read.text(paths).withColumnRenamed(
+            "value", o.get("field_name", "value")
+        )
+    else:
+        raise ValueError(f"no native path for format: {fmt}")
+    return df.select(
+        F.input_file_name().alias("_src_file"),
+        F.monotonically_increasing_id().alias("_src_offset"),
+        "*",
+    )
 
 
 # --------------------------------------------------------- line-format parsers

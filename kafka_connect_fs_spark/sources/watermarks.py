@@ -4,14 +4,19 @@ Plays the role of Kafka Connect's offset storage in the reference
 (FsSourceTask.java:80-91 reads ``{offset, file-size, eof}`` keyed by
 ``{path}``; AbstractPolicy.java:233-248 seeks readers to the committed
 offset and skips finished files). Here it is an explicit versioned parquet
-snapshot so that (a) resume state is queryable lineage, (b) commits are
-atomic (O_EXCL marker file — same primitive as the lake log), and
-(c) recovery after a crash between lake-MERGE and watermark-commit can
-replay the watermark delta recorded inside the lake commit (exactly-once).
+snapshot so that (a) resume state is queryable lineage (Spark can read it
+directly), (b) commits are atomic (O_EXCL marker file — same primitive as
+the lake log), and (c) recovery after a crash between lake-MERGE and
+watermark-commit can replay the watermark delta recorded inside the lake
+commit (exactly-once).
 
-Scale: the snapshot is O(live files). Snapshots are full rewrites per batch
-— correct first; an LSM-style delta-log compaction is the scale follow-up
-and does not change the API.
+Implementation note: snapshots are read/merged/written DRIVER-SIDE with
+pyarrow — the table is O(live files), keyed metadata, not row data; going
+through Spark jobs for it added seconds of fixed latency to every
+micro-batch (the reference equally keeps offsets in the driver-side Connect
+framework). The parquet layout is unchanged, so `spark.read.parquet` still
+works for lineage queries. Beyond ~10^7 tracked files, shard the snapshot
+or move it into the lake table itself.
 """
 
 from __future__ import annotations
@@ -21,8 +26,9 @@ import os
 import re
 import uuid
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 WATERMARK_SCHEMA = T.StructType(
@@ -33,6 +39,17 @@ WATERMARK_SCHEMA = T.StructType(
         T.StructField("eof", T.BooleanType(), False),
         T.StructField("batch_seq", T.LongType(), False),
         T.StructField("updated_at", T.TimestampType(), True),
+    ]
+)
+
+_ARROW_SCHEMA = pa.schema(
+    [
+        ("path", pa.string()),
+        ("committed_offset", pa.int64()),
+        ("file_size", pa.int64()),
+        ("eof", pa.bool_()),
+        ("batch_seq", pa.int64()),
+        ("updated_at", pa.timestamp("us")),
     ]
 )
 
@@ -59,12 +76,26 @@ class WatermarkStore:
         with open(os.path.join(self.root, f"v{vs[-1]:012d}.json")) as f:
             return json.load(f)["batch_seq"]
 
+    def _data_file(self, seq: int) -> str:
+        return os.path.join(self.root, f"v{seq:012d}", "snapshot.parquet")
+
+    def _load_rows(self) -> dict[str, dict]:
+        vs = self._versions()
+        if not vs:
+            return {}
+        table = pq.read_table(self._data_file(vs[-1]))
+        return {r["path"]: r for r in table.to_pylist()}
+
+    def load_dict(self) -> dict[str, dict]:
+        """Driver-side snapshot: {path: {committed_offset, file_size, eof, …}}."""
+        return self._load_rows()
+
     def load(self) -> DataFrame:
+        """Spark view of the snapshot (for lineage/monitoring queries)."""
         vs = self._versions()
         if not vs:
             return self.spark.createDataFrame([], WATERMARK_SCHEMA)
-        data_dir = os.path.join(self.root, f"v{vs[-1]:012d}")
-        return self.spark.read.parquet(data_dir)
+        return self.spark.read.parquet(os.path.dirname(self._data_file(vs[-1])))
 
     def commit(
         self,
@@ -74,41 +105,30 @@ class WatermarkStore:
     ) -> None:
         """Merge per-file updates into the snapshot; keep-latest per path.
 
-        ``updates`` rows: {path, committed_offset, file_size, eof}. Driver-
-        side list — bounded by files-touched-per-batch, mirroring the
+        Driver-side: bounded by files-touched + live files, mirroring the
         reference's one-offsets()-call-per-poll batching
-        (FsSourceTask.java:83-86).
+        (FsSourceTask.java:83-86). Atomic via O_EXCL marker create.
         """
-        prev = self.load()
-        if removed_paths:
-            prev = prev.filter(~F.col("path").isin(removed_paths))
-        upd_rows = [
-            (
-                u["path"],
-                int(u["committed_offset"]),
-                int(u["file_size"]),
-                bool(u["eof"]),
-                int(batch_seq),
-                None,
-            )
-            for u in updates
-        ]
-        upd = self.spark.createDataFrame(upd_rows, WATERMARK_SCHEMA).withColumn(
-            "updated_at", F.current_timestamp()
-        )
-        merged = (
-            prev.unionByName(upd)
-            .groupBy("path")
-            .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in WATERMARK_SCHEMA.fieldNames()]),
-                    F.struct(F.col("batch_seq"), F.col("committed_offset")),
-                ).alias("_w")
-            )
-            .select("_w.*")
-        )
-        data_dir = os.path.join(self.root, f"v{batch_seq:012d}")
-        merged.coalesce(1).write.mode("overwrite").parquet(data_dir)
+        import datetime as dt
+
+        rows = self._load_rows()
+        for p in removed_paths or []:
+            rows.pop(p, None)
+        now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        for u in updates:
+            rows[u["path"]] = {
+                "path": u["path"],
+                "committed_offset": int(u["committed_offset"]),
+                "file_size": int(u["file_size"]),
+                "eof": bool(u["eof"]),
+                "batch_seq": int(batch_seq),
+                "updated_at": now,
+            }
+        data_file = self._data_file(batch_seq)
+        os.makedirs(os.path.dirname(data_file), exist_ok=True)
+        ordered = sorted(rows.values(), key=lambda r: r["path"])
+        table = pa.Table.from_pylist(list(ordered), schema=_ARROW_SCHEMA)
+        pq.write_table(table, data_file)
         marker = os.path.join(self.root, f"v{batch_seq:012d}.json")
         tmp = marker + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -58,12 +58,14 @@ from kafka_connect_fs_spark.sources.readers import (
     parse_whole_file_records,
     read_binary,
     read_columnar,
+    read_line_format_native,
     read_lines,
     read_whole_files,
 )
 from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
 
 LINE_FORMATS = {"text", "csv", "tsv", "jsonl", "fixedwidth"}
+NATIVE_LINE_FORMATS = {"text", "csv", "tsv", "jsonl"}  # JVM fast path (offset-0 files)
 WHOLE_FILE_FORMATS = {"yaml", "xml", "json_whole", "text_whole"}
 COLUMNAR_FORMATS = {"parquet", "avro", "orc"}
 
@@ -183,8 +185,15 @@ class IngestEngine:
         return work, finished
 
     # --------------------------------------------------------------- reading
-    def _read(self, work: list[WorkItem]) -> tuple[DataFrame | None, DataFrame | None]:
-        """Returns (lines_df_for_watermarks_or_None, events_df)."""
+    def _read(
+        self, work: list[WorkItem]
+    ) -> tuple[DataFrame | None, DataFrame | None, set[str]]:
+        """Returns (lines_df_for_watermarks_or_None, events_df, native_paths).
+
+        ``native_paths`` are whole files read via the JVM-native fast path —
+        they have no byte-offset line stats; their watermark commits the
+        full snapshot length (a native read failure fails the batch, so no
+        false progress is possible)."""
         cfg = self.config
         groups: dict[str, list[WorkItem]] = {}
         for w in work:
@@ -195,8 +204,32 @@ class IngestEngine:
 
         lines_parts: list[DataFrame] = []
         event_parts: list[DataFrame] = []
+        native_paths: set[str] = set()
+        jvm_fast = cfg.reader_options.get("jvm_fast_path", True)
         for fmt, items in groups.items():
             if fmt in LINE_FORMATS:
+                if jvm_fast and fmt in NATIVE_LINE_FORMATS:
+                    whole = [
+                        w
+                        for w in items
+                        if w.start_offset == 0
+                        and not _compressed(w.path)
+                        # a file can vanish between listing and read; the
+                        # native reader fails the whole batch on a missing
+                        # path, so drop it here (nothing is committed for
+                        # it — it simply isn't listed next trigger)
+                        and _still_exists(w.path)
+                    ]
+                    if whole:
+                        event_parts.append(
+                            read_line_format_native(
+                                self.spark, whole, fmt, cfg.schema, cfg.reader_options
+                            )
+                        )
+                        native_paths.update(w.path for w in whole)
+                        items = [w for w in items if w.path not in native_paths]
+                        if not items:
+                            continue
                 lines = read_lines(
                     self.spark,
                     items,
@@ -260,7 +293,7 @@ class IngestEngine:
             events = event_parts[0]
             for p in event_parts[1:]:
                 events = events.unionByName(p, allowMissingColumns=True)
-        return lines_df, events
+        return lines_df, events, native_paths
 
     def _parse_lines(self, fmt: str, lines: DataFrame) -> DataFrame:
         cfg = self.config
@@ -315,9 +348,7 @@ class IngestEngine:
             return res
 
         listing = [f for f in list_files(cfg.uris, cfg.regexp, cfg.recursive) if f.length > 0]
-        wm_rows = {
-            r["path"]: r for r in (x.asDict() for x in self.watermarks.load().collect())
-        }
+        wm_rows = self.watermarks.load_dict()
         work, finished = self._plan(listing, wm_rows)
         snap = {w.path: w.snap_length for w in work}
 
@@ -330,7 +361,7 @@ class IngestEngine:
             self._log_metrics(res, {})
             return res
 
-        lines_df, events = self._read(work)
+        lines_df, events, native_paths = self._read(work)
         try:
             if cfg.transform is not None:
                 events = cfg.transform(events)
@@ -361,6 +392,7 @@ class IngestEngine:
             fast_count = (
                 cfg.transform is None
                 and lines_df is not None
+                and not native_paths
                 and fmts <= {"jsonl", "text"}
             )
             if fast_count:
@@ -411,7 +443,10 @@ class IngestEngine:
             wm_updates = []
             for w in work:
                 fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)
-                if fmt in LINE_FORMATS:
+                if w.path in native_paths:
+                    # whole file consumed via the JVM-native scan
+                    end = w.snap_length
+                elif fmt in LINE_FORMATS:
                     if w.path in failed:
                         # ANY failed range ⇒ no progress for the whole file:
                         # it is re-read from the committed offset next
@@ -511,3 +546,16 @@ class IngestEngine:
 
 def _compressed(path: str) -> bool:
     return path.endswith(".gz") or path.endswith(".bz2")
+
+
+def _still_exists(path: str) -> bool:
+    if "://" in path and not path.startswith("file://"):
+        try:
+            import pyarrow.fs as pafs
+
+            fs, p = pafs.FileSystem.from_uri(path)
+            return fs.get_file_info(p).type != pafs.FileType.NotFound
+        except Exception:
+            return False
+    local = path[len("file://"):] if path.startswith("file://") else path
+    return os.path.exists(local)
