@@ -129,6 +129,7 @@ def _scaling(sf_dir: str, multiplier: int = 60) -> dict:
     from kafka_connect_fs_spark.session import get_spark
 
     levels = (2, 8, 32)
+    calibration = _machine_calibration(levels)
     runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(2):
         for cores in levels:
@@ -150,6 +151,53 @@ def _scaling(sf_dir: str, multiplier: int = 60) -> dict:
     out["efficiency_8_to_32"] = round(
         (best[32]["events_per_sec"] / best[8]["events_per_sec"]) / 4, 3
     )
+    # normalize against what THIS machine's cores can deliver at all: on an
+    # oversubscribed/shared host, even a pure-CPU job (no memory traffic, no
+    # I/O, no shuffle) scales < 4x from N to 4N threads — that ceiling, not
+    # the Spark plan, bounds measured efficiency. plan_efficiency = ingest
+    # speedup / pure-CPU speedup (≥1 ⇒ the ingest plan scales at least as
+    # well as the hardware allows).
+    out["machine_calibration"] = calibration
+    for a, b in ((2, 8), (8, 32)):
+        hw = calibration.get(f"cpu_speedup_{a}_to_{b}")
+        ing = best[b]["events_per_sec"] / best[a]["events_per_sec"]
+        if hw:
+            out[f"plan_efficiency_{a}_to_{b}"] = round(ing / hw, 3)
+    return out
+
+
+def _machine_calibration(levels=(2, 8, 32)) -> dict:
+    """Pure-CPU Spark job (iterated xxhash64 over range, no memory/IO) at
+    each parallelism level — measures how much compute the host actually
+    grants N vs 4N local threads."""
+    from pyspark.sql import functions as F
+
+    from kafka_connect_fs_spark.session import get_spark
+
+    best: dict[int, float] = {}
+    for cores in levels:
+        spark = get_spark(f"kcfs-cal-{cores}", cores=cores, shuffle_partitions=cores)
+        try:
+            spark.range(10_000_000, numPartitions=cores * 4).select(
+                F.sum(F.xxhash64("id"))
+            ).collect()  # warm
+            times = []
+            for _ in range(2):
+                t0 = time.monotonic()
+                h = F.col("id")
+                for _i in range(6):
+                    h = F.xxhash64(h)
+                spark.range(600_000_000, numPartitions=cores * 4).select(
+                    F.sum(h)
+                ).collect()
+                times.append(time.monotonic() - t0)
+            best[cores] = min(times)
+        finally:
+            spark.stop()
+    out = {f"cpu_seconds_local[{c}]": round(s, 2) for c, s in best.items()}
+    for a, b in ((2, 8), (8, 32)):
+        if a in best and b in best:
+            out[f"cpu_speedup_{a}_to_{b}"] = round(best[a] / best[b], 2)
     return out
 
 
