@@ -96,6 +96,11 @@ class IngestConfig:
     # old→new column-rename hints: a batch arriving with `new` while the
     # table has `old` triggers a metadata-only table rename (M4)
     rename_hints: dict = field(default_factory=dict)
+    # lakehouse hygiene: every N batches, compact fragmented buckets and
+    # vacuum unreferenced files (0 = never; a maintenance job can own this
+    # instead on a real deployment)
+    compact_every: int = 0
+    compact_min_files_per_bucket: int = 4
 
 
 @dataclass
@@ -484,6 +489,11 @@ class IngestEngine:
 
         cleaned = self._cleanup(finished)
         self.watermarks.commit(wm_updates, seq, removed_paths=cleaned)
+
+        if cfg.compact_every and seq > 0 and seq % cfg.compact_every == 0:
+            self.lake.compact(min_files_per_bucket=cfg.compact_min_files_per_bucket)
+            self.lake.vacuum()
+
         res = BatchResult(
             batch_id, seq, len(work), n_events,
             commit.metrics.get("rows_written", 0), cleaned=cleaned,

@@ -359,3 +359,14 @@ def test_rename_with_mixed_generation_files_reads_coalesced(spark, tmp_path):
     # old-generation rows keep their pre-rename values via coalesce
     assert vals[(rows[0]["conv_id"], 0)] == "newtool"
     assert all(v is not None for v in vals.values())
+
+
+def test_auto_compaction_runs_on_schedule(spark, tmp_path):
+    engine = make_engine(spark, tmp_path, compact_every=2, compact_min_files_per_bucket=1)
+    rows = transcript_change_events(6, 2)
+    per = len(rows) // 3
+    for i in range(3):
+        write_jsonl(rows[i * per : (i + 1) * per], str(tmp_path / "src" / f"f{i}.jsonl"))
+        engine.run_once()
+    assert any(c.metrics.get("compaction") for c in engine.lake.commits())
+    assert_matches_oracle(engine, rows)

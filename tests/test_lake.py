@@ -188,3 +188,18 @@ def test_expire_tombstones(spark, table):
     assert c is not None
     assert table.snapshot().filter("op = 'delete'").count() == 0
     assert {r.conv_id for r in table.read().collect()} == {"c2"}
+
+
+def test_concurrent_commit_conflict_detected(spark, table):
+    """Two writers racing to the same log version: exactly one wins the
+    O_EXCL create; the loser gets ConcurrentCommitError (single-writer
+    engine; the primitive is what Delta/Iceberg use on object stores)."""
+    from kafka_connect_fs_spark.plans.lake import Commit, ConcurrentCommitError
+
+    table.merge(edf(spark, [ev("c1", 0, "a", 1)]), "b1")
+    v = table.latest_version() + 1
+    c = Commit(version=v, batch_id="race-1", added=[], removed=[], schema_json=None)
+    table._write_commit(c)
+    dup = Commit(version=v, batch_id="race-2", added=[], removed=[], schema_json=None)
+    with pytest.raises(ConcurrentCommitError):
+        table._write_commit(dup)
