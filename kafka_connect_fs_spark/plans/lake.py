@@ -165,13 +165,17 @@ class LakeTable:
         tmp = path + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(commit.to_json())
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            # atomic create-with-content (no window where the log entry
+            # exists empty); loser of a version race gets EEXIST — the same
+            # put-if-absent primitive lakehouse commit protocols rely on
+            os.link(tmp, path)
         except FileExistsError:
-            os.unlink(tmp)
             raise ConcurrentCommitError(f"version {commit.version} already committed")
-        os.close(fd)
-        os.replace(tmp, path)
+        finally:
+            os.unlink(tmp)
 
     # ----------------------------------------------------------------- read
     def _bucket_expr(self, col: str) -> F.Column:

@@ -43,8 +43,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # sentinel _line_no values for per-range outcome markers (never real lines)
-LINE_NO_RANGE_OK = -2
-LINE_NO_RANGE_FAILED = -1
+LINE_NO_RANGE_OK = -2  # range fully consumed up to its responsibility end
+LINE_NO_RANGE_FAILED = -1  # read error: offset must not advance past range_start
+LINE_NO_RANGE_PARTIAL = -4  # read ok but tail held back (unterminated line):
+# consumed_end (marker _src_end) < snapshot end ⇒ not eof
 
 LINE_SCHEMA = T.StructType(
     [
@@ -183,7 +185,13 @@ def read_lines(
                         emit_unterminated_final_line,
                         arrow_batch_rows,
                     )
-                    marker = LINE_NO_RANGE_OK
+                    # success markers (OK / PARTIAL, with the consumed end
+                    # position) are emitted inside _scan_one_range; the
+                    # engine only advances a file's offset when NO range of
+                    # it failed — a failed early split with a successful
+                    # later split must not commit past the hole (the tail is
+                    # re-read next trigger; idempotent LWW absorbs the
+                    # partial emit)
                 except (OSError, EOFError, ValueError) as e:
                     # per-file error tolerance: warn + continue, offset not
                     # advanced (the reference's FsSourceTask.java:101-105)
@@ -193,26 +201,30 @@ def read_lines(
                         f"kcfs: unreadable file range {r.path}: {e}",
                         file=sys.stderr,
                     )
-                    marker = LINE_NO_RANGE_FAILED
-                # every range reports its outcome: the engine only advances a
-                # file's offset when NO range of it failed — a failed early
-                # split with a successful later split must not commit past
-                # the hole (the whole tail is re-read next trigger; the
-                # idempotent LWW MERGE makes the partial emit harmless)
-                yield pd.DataFrame(
-                    {
-                        "_src_file": [r.path],
-                        "_src_offset": [int(r.range_start)],
-                        "_src_end": [int(r.range_start)],
-                        "_line_no": [marker],
-                        "value": [None],
-                    }
-                )
+                    yield _marker_row(
+                        r.path,
+                        int(r.range_start),
+                        int(r.range_start),
+                        LINE_NO_RANGE_FAILED,
+                    )
 
     out = work.mapInPandas(scan, LINE_SCHEMA)
     if not with_markers:
         out = out.filter(F.col("_line_no") >= 0)
     return out
+
+
+def _marker_row(path: str, start: int, end: int, line_no: int) -> pd.DataFrame:
+    """One range-outcome marker row (value NULL, _line_no < 0)."""
+    return pd.DataFrame(
+        {
+            "_src_file": [path],
+            "_src_offset": [int(start)],
+            "_src_end": [int(end)],
+            "_line_no": [int(line_no)],
+            "value": [None],
+        }
+    )
 
 
 def _scan_one_range(
@@ -234,6 +246,12 @@ def _scan_one_range(
     newline — so a line starting exactly AT the boundary is kept by this
     split and a straddling line by the previous one (which reads past its
     range_end to finish it).
+
+    Always ends with one outcome-marker row: OK if the range consumed up to
+    its responsibility end (range_end / snapshot end), PARTIAL if a final
+    unterminated line was held back (consumed end = marker ``_src_end``) —
+    the engine needs this to distinguish "fully consumed" from "tail
+    pending", which offsets alone cannot express for compressed streams.
     """
     import numpy as np
 
@@ -258,6 +276,7 @@ def _scan_one_range(
                 skipped = stream.readline()  # partial line → previous split
                 pos = range_start - 1 + len(skipped)
                 if pos >= min(range_end, logical_end):
+                    yield _marker_row(path, range_start, pos, LINE_NO_RANGE_OK)
                     return
             else:
                 stream.seek(pos)
@@ -272,6 +291,7 @@ def _scan_one_range(
         at_end = pos + len(buf) >= logical_end
 
     if not buf:
+        yield _marker_row(path, range_start, pos, LINE_NO_RANGE_OK)
         return
 
     fully_terminated = buf.endswith(b"\n")
@@ -279,10 +299,13 @@ def _scan_one_range(
     if fully_terminated:
         parts.pop()  # trailing empty piece
     unterminated_last = not fully_terminated
+    held_back = False
     if unterminated_last and not (emit_final and at_end):
         parts.pop()  # still-growing tail: hold back for a later trigger
         unterminated_last = False
+        held_back = True
         if not parts:
+            yield _marker_row(path, range_start, pos, LINE_NO_RANGE_PARTIAL)
             return
 
     lens = np.fromiter((len(p) for p in parts), dtype=np.int64, count=len(parts))
@@ -307,6 +330,14 @@ def _scan_one_range(
                 "value": vals.values,
             }
         )
+
+    consumed_end = int(ends[-1])
+    yield _marker_row(
+        path,
+        range_start,
+        consumed_end,
+        LINE_NO_RANGE_PARTIAL if held_back else LINE_NO_RANGE_OK,
+    )
 
 
 def read_line_format_native(
@@ -336,7 +367,10 @@ def read_line_format_native(
     if not paths:
         return spark.createDataFrame([], schema or T.StructType([]))
     if fmt == "jsonl":
-        reader = spark.read.option("ignoreMissingFiles", "true")
+        # NB: no ignoreMissingFiles — a file vanishing mid-scan must FAIL
+        # the batch (retried; next listing drops it) rather than silently
+        # yield nothing while the watermark commits full consumption
+        reader = spark.read
         if schema is not None:
             reader = reader.schema(schema)
         df = reader.options(**o.get("json_options", {}) or {}).json(paths)
@@ -358,8 +392,14 @@ def read_line_format_native(
     else:
         raise ValueError(f"no native path for format: {fmt}")
     return df.select(
-        F.input_file_name().alias("_src_file"),
-        F.monotonically_increasing_id().alias("_src_offset"),
+        # normalize the file: URI back to the listing's raw path form so
+        # LWW tie-breaks compare like with like across native and tail reads
+        F.regexp_replace(F.input_file_name(), r"^file:/+", "/").alias("_src_file"),
+        # ordinal shifted negative: monotonically_increasing_id carries the
+        # partition index in its upper bits (can exceed any byte offset), so
+        # ties between a native row and a LATER appended tail row (byte
+        # offsets ≥ 0) must resolve to the tail — new data wins
+        (F.monotonically_increasing_id() - F.lit(1 << 62)).alias("_src_offset"),
         "*",
     )
 

@@ -83,7 +83,19 @@ class WatermarkStore:
         vs = self._versions()
         if not vs:
             return {}
-        table = pq.read_table(self._data_file(vs[-1]))
+        snap_dir = os.path.dirname(self._data_file(vs[-1]))
+        single = self._data_file(vs[-1])
+        if os.path.exists(single):
+            table = pq.read_table(single)
+        else:
+            # layout written by an older Spark-based commit: a directory of
+            # part-*.parquet files
+            parts = sorted(
+                os.path.join(snap_dir, n)
+                for n in os.listdir(snap_dir)
+                if n.endswith(".parquet")
+            )
+            table = pa.concat_tables([pq.read_table(p) for p in parts])
         return {r["path"]: r for r in table.to_pylist()}
 
     def load_dict(self) -> dict[str, dict]:
@@ -133,6 +145,9 @@ class WatermarkStore:
         tmp = marker + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump({"batch_seq": batch_seq, "n_updates": len(updates)}, f)
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-        os.replace(tmp, marker)
+            f.flush()
+            os.fsync(f.fileno())
+        # atomic create-with-content: link fails with EEXIST if another
+        # writer won; no window where the marker exists empty
+        os.link(tmp, marker)
+        os.unlink(tmp)

@@ -49,6 +49,7 @@ from kafka_connect_fs_spark.sources.discovery import FileMeta, list_files
 from kafka_connect_fs_spark.sources.readers import (
     CUSTOM_READERS,
     LINE_NO_RANGE_FAILED,
+    LINE_NO_RANGE_PARTIAL,
     WorkItem,
     format_for,
     parse_csv,
@@ -189,11 +190,18 @@ class IngestEngine:
             work = out  # remainder picked up next trigger (offsets unchanged)
         return work, finished
 
+    def _fmt_of(self, path: str) -> str:
+        cfg = self.config
+        if cfg.fmt != "agnostic":
+            return cfg.fmt
+        return format_for(path, cfg.reader_options.get("format_overrides"))
+
     # --------------------------------------------------------------- reading
     def _read(
         self, work: list[WorkItem]
-    ) -> tuple[DataFrame | None, DataFrame | None, set[str]]:
-        """Returns (lines_df_for_watermarks_or_None, events_df, native_paths).
+    ) -> tuple[DataFrame | None, DataFrame | None, set[str], list[DataFrame]]:
+        """Returns (lines_union_or_None, events_df, native_paths,
+        persisted_lines_parts).
 
         ``native_paths`` are whole files read via the JVM-native fast path —
         they have no byte-offset line stats; their watermark commits the
@@ -202,10 +210,7 @@ class IngestEngine:
         cfg = self.config
         groups: dict[str, list[WorkItem]] = {}
         for w in work:
-            fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(
-                w.path, cfg.reader_options.get("format_overrides")
-            )
-            groups.setdefault(fmt, []).append(w)
+            groups.setdefault(self._fmt_of(w.path), []).append(w)
 
         lines_parts: list[DataFrame] = []
         event_parts: list[DataFrame] = []
@@ -298,7 +303,9 @@ class IngestEngine:
             events = event_parts[0]
             for p in event_parts[1:]:
                 events = events.unionByName(p, allowMissingColumns=True)
-        return lines_df, events, native_paths
+        # lines_parts returned too: each part is persisted individually and
+        # must be unpersisted individually (unpersisting the union is a no-op)
+        return lines_df, events, native_paths, lines_parts
 
     def _parse_lines(self, fmt: str, lines: DataFrame) -> DataFrame:
         cfg = self.config
@@ -366,7 +373,7 @@ class IngestEngine:
             self._log_metrics(res, {})
             return res
 
-        lines_df, events, native_paths = self._read(work)
+        lines_df, events, native_paths, lines_parts = self._read(work)
         try:
             if cfg.transform is not None:
                 events = cfg.transform(events)
@@ -374,9 +381,7 @@ class IngestEngine:
             # one stats pass over the cached raw lines yields the per-file
             # consumed offsets, the per-range failure flags, AND the record
             # count (no separate count() job on the fast path)
-            fmts = {
-                (cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)) for w in work
-            }
+            fmts = {self._fmt_of(w.path) for w in work}
             line_stats = []
             if lines_df is not None:
                 line_stats = (
@@ -388,6 +393,9 @@ class IngestEngine:
                         F.count(
                             F.when(F.col("_line_no") == LINE_NO_RANGE_FAILED, 1)
                         ).alias("n_failed_ranges"),
+                        F.count(
+                            F.when(F.col("_line_no") == LINE_NO_RANGE_PARTIAL, 1)
+                        ).alias("n_partial_ranges"),
                     )
                     .collect()
                 )
@@ -418,19 +426,18 @@ class IngestEngine:
             schema_diff = None
             tbl_schema = self.lake.current_schema()
             if tbl_schema is not None:
-                strip = {"op", *(c for c in ("_src_file", "_src_offset"))}
                 tbl_clean = T.StructType(
                     [
                         f
                         for f in tbl_schema.fields
-                        if f.name not in strip and not f.name.startswith("_")
+                        if f.name != "op" and not f.name.startswith("_")
                     ]
                 )
                 incoming = T.StructType(
                     [
                         f
                         for f in events.schema.fields
-                        if f.name not in strip and not f.name.startswith("_")
+                        if f.name != "op" and not f.name.startswith("_")
                     ]
                 )
                 d = diff_schemas(tbl_clean, incoming, cfg.rename_hints)
@@ -445,9 +452,12 @@ class IngestEngine:
             failed: set[str] = {
                 r["_src_file"] for r in line_stats if r["n_failed_ranges"] > 0
             }
+            partial: set[str] = {
+                r["_src_file"] for r in line_stats if r["n_partial_ranges"] > 0
+            }
             wm_updates = []
             for w in work:
-                fmt = cfg.fmt if cfg.fmt != "agnostic" else format_for(w.path)
+                fmt = self._fmt_of(w.path)
                 if w.path in native_paths:
                     # whole file consumed via the JVM-native scan
                     end = w.snap_length
@@ -467,7 +477,9 @@ class IngestEngine:
                 # end>=size; it means "stream fully consumed this trigger",
                 # i.e. every range of the file read successfully
                 eof = bool(end >= snap[w.path]) or (
-                    _compressed(w.path) and w.path not in failed
+                    _compressed(w.path)
+                    and w.path not in failed
+                    and w.path not in partial
                 )
                 wm_updates.append(
                     {
@@ -484,8 +496,8 @@ class IngestEngine:
                 app_metadata={"watermarks": wm_updates, "cleanup": finished},
             )
         finally:
-            if lines_df is not None:
-                lines_df.unpersist()
+            for p in lines_parts:
+                p.unpersist()
 
         cleaned = self._cleanup(finished)
         self.watermarks.commit(wm_updates, seq, removed_paths=cleaned)
