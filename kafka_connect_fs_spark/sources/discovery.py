@@ -124,7 +124,9 @@ def _list_local(root: str, pat: re.Pattern, recursive: bool, include_hidden: boo
             continue
         for e in entries:
             if e.is_dir(follow_symlinks=False):
-                if recursive:
+                # do not descend into hidden/staging dirs either
+                # (_temporary/... attempt files have non-hidden basenames)
+                if recursive and (include_hidden or not _hidden(e.name)):
                     stack.append(e.path)
             else:
                 if not include_hidden and _hidden(e.name):
@@ -140,11 +142,17 @@ def _list_pyarrow(uri: str, pat: re.Pattern, recursive: bool, include_hidden: bo
 
     fs, path = pafs.FileSystem.from_uri(uri)
     sel = pafs.FileSelector(path, recursive=recursive, allow_not_found=True)
+    base = path.rstrip("/")
     out = []
     for info in fs.get_file_info(sel):
-        if info.type == pafs.FileType.File and pat.search(info.base_name) and (
-            include_hidden or not _hidden(info.base_name)
-        ):
-            mtime = info.mtime.timestamp() if info.mtime else 0.0
-            out.append(FileMeta(f"{fs.type_name}://{info.path}", info.size, mtime))
+        if info.type != pafs.FileType.File or not pat.search(info.base_name):
+            continue
+        if not include_hidden:
+            # any hidden component below the listed root excludes the file
+            # (e.g. Hadoop _temporary staging dirs)
+            rel = info.path[len(base):].lstrip("/") if info.path.startswith(base) else info.path
+            if any(_hidden(c) for c in rel.split("/")):
+                continue
+        mtime = info.mtime.timestamp() if info.mtime else 0.0
+        out.append(FileMeta(f"{fs.type_name}://{info.path}", info.size, mtime))
     return out

@@ -140,3 +140,16 @@ def test_cron_policy_fires_until_end_date():
 def test_cron_invalid_expr():
     with pytest.raises(ValueError):
         Cron("* * *")
+
+
+def test_hidden_files_and_staging_dirs_skipped(tmp_path):
+    """Hadoop/Spark convention: _SUCCESS, .crc, and anything under a
+    '_temporary'/'.staging' dir is metadata, not data."""
+    touch(str(tmp_path / "data.jsonl"))
+    touch(str(tmp_path / "_SUCCESS"))
+    touch(str(tmp_path / ".data.jsonl.crc"))
+    touch(str(tmp_path / "_temporary" / "0" / "attempt_0" / "part-00000.jsonl"))
+    found = [os.path.basename(f.path) for f in list_files(str(tmp_path))]
+    assert found == ["data.jsonl"]
+    all_found = {os.path.basename(f.path) for f in list_files(str(tmp_path), include_hidden=True)}
+    assert "part-00000.jsonl" in all_found and "_SUCCESS" in all_found
