@@ -646,6 +646,24 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(t(spark, sf_dir, "documents"))
 
 
+SQL_DEDUP_SIMHASH = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS t
+  FROM documents),
+tok2 AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h
+  FROM tok WHERE length(t) > 0),
+votes AS (
+  SELECT doc_id, bb.b AS b,
+         sum(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok2, (SELECT unnest(generate_series(0, 59)) AS b) bb
+  GROUP BY doc_id, bb.b)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features(media).select(
@@ -703,5 +721,6 @@ ORACLES: dict[str, str] = {
     "binary_blob_stats": SQL_BINARY_BLOB_STATS,
     "sessionize": SQL_SESSIONIZE,
     "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
-    # embed_knn_lsh / dedup_simhash / multimodal_features: rows-only
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
+    # embed_knn_lsh / multimodal_features: rows-only (custom distributed ops)
 }
