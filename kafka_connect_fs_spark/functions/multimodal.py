@@ -32,7 +32,7 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("kind", T.StringType(), False),
         T.StructField("n_bytes", T.LongType(), False),
-        T.StructField("content_sha1", T.StringType(), False),
+        T.StructField("content_md5", T.StringType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
         T.StructField("duration_ms", T.IntegerType(), True),
@@ -43,8 +43,9 @@ FEATURE_SCHEMA = T.StructType(
 
 def _fake_decode(kind: str, content: bytes) -> dict:
     """Deterministic stand-in for a real codec: derives pseudo-metadata and
-    an 8-dim feature from the content hash. Replace via ``DECODERS``."""
-    h = hashlib.sha1(content).digest()
+    an 8-dim feature from the content md5 (md5 so the DuckDB oracle can
+    reproduce every derived value). Replace via ``DECODERS``."""
+    h = hashlib.md5(content).digest()
     feat = [((b / 255.0) * 2 - 1) for b in h[:8]]
     meta = {"width": None, "height": None, "duration_ms": None}
     if kind == "image":
@@ -89,7 +90,7 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                         int(r.media_id),
                         r.kind,
                         len(content),
-                        hashlib.sha1(content).hexdigest(),
+                        hashlib.md5(content).hexdigest(),
                         decoded["width"],
                         decoded["height"],
                         decoded["duration_ms"],

@@ -665,10 +665,25 @@ FROM votes GROUP BY doc_id
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing end-to-end: binary media column →
+    mapInPandas decode (stubbed codec) → typed metadata. The stub derives
+    every value from the content md5, so even this Python-side path is
+    oracle-checked."""
     media = M.documents_as_media(t(spark, sf_dir, "documents"))
     return M.extract_features(media).select(
-        "media_id", "kind", "n_bytes", "content_sha1", "width", "height"
+        "media_id", "kind", "n_bytes", "content_md5", "width", "height"
     )
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 192 AS width,
+       64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 192 AS height
+FROM documents
+"""
 
 
 # --------------------------------------------------------------------------
@@ -722,5 +737,8 @@ ORACLES: dict[str, str] = {
     "sessionize": SQL_SESSIONIZE,
     "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
-    # embed_knn_lsh / multimodal_features: rows-only (custom distributed ops)
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    # embed_knn_lsh: rows-only (ANN with float-sign bucketing — near-zero
+    # projections could flip buckets on cross-engine float drift; its
+    # quality is gated by the recall-vs-exact test instead)
 }

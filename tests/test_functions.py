@@ -107,7 +107,7 @@ def test_multimodal_feature_extraction_plumbing(spark, docs):
     feats = M.extract_features(media).collect()
     assert len(feats) == docs.count()
     by_id = {r.media_id: r for r in feats}
-    assert by_id[0].content_sha1 == by_id[1].content_sha1  # same bytes
+    assert by_id[0].content_md5 == by_id[1].content_md5  # same bytes
     assert by_id[0].width and by_id[0].height and len(by_id[0].feature) == 8
     # deterministic across runs
     feats2 = {r.media_id: r.feature for r in M.extract_features(media).collect()}
