@@ -514,9 +514,29 @@ class IngestEngine:
         self._log_metrics(res, commit.metrics, added=commit.added)
         return res
 
-    def run(self, policy) -> list[BatchResult]:
-        """Drain a trigger policy (streaming/triggers.py)."""
-        return [self.run_once() for _ in policy.triggers()]
+    def run(self, policy, stop_on_error: bool = False) -> list[BatchResult]:
+        """Drain a trigger policy (streaming/triggers.py).
+
+        By default a failed batch is logged and the loop continues with the
+        next trigger — the reference's poll loop warns and returns an empty
+        batch on policy errors (FsSourceTask.java:127-133). Nothing is
+        half-committed: the exactly-once protocol replays the failed batch
+        on the next trigger (same batch_seq until the watermark commit
+        lands). ``stop_on_error=True`` propagates instead.
+        """
+        results: list[BatchResult] = []
+        for _ in policy.triggers():
+            try:
+                results.append(self.run_once())
+            except Exception as e:
+                if stop_on_error:
+                    raise
+                import sys
+                import traceback
+
+                print(f"kcfs: batch failed, will retry next trigger: {e}", file=sys.stderr)
+                traceback.print_exc()
+        return results
 
     # -------------------------------------------------------------- cleanup
     def _cleanup(self, paths: list[str]) -> list[str]:

@@ -370,3 +370,28 @@ def test_auto_compaction_runs_on_schedule(spark, tmp_path):
         engine.run_once()
     assert any(c.metrics.get("compaction") for c in engine.lake.commits())
     assert_matches_oracle(engine, rows)
+
+
+def test_run_loop_tolerates_batch_failures(spark, tmp_path, monkeypatch):
+    """Policy loop parity (FsSourceTask.java:127-133): a failing batch is
+    logged and retried on the next trigger; the final state is exact."""
+    from kafka_connect_fs_spark.streaming.triggers import SleepyPolicy
+
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(4, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+
+    real = engine.watermarks.commit
+    state = {"failed_once": False}
+
+    def flaky_commit(*a, **kw):
+        if not state["failed_once"]:
+            state["failed_once"] = True
+            raise RuntimeError("transient failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(engine.watermarks, "commit", flaky_commit)
+    results = engine.run(SleepyPolicy(sleep_s=0.01, max_execs=3))
+    assert len(results) == 2  # first trigger failed, two succeeded
+    assert results[0].recovered is True  # the replayed batch
+    assert_matches_oracle(engine, rows)
