@@ -145,12 +145,17 @@ class LakeTable:
                 return c
         return None
 
-    def _state(self) -> tuple[dict[str, dict], str | None, dict[str, str]]:
-        """Replay the log → (live files by relpath, latest schema json, renames)."""
+    def _state(
+        self, at_version: int | None = None
+    ) -> tuple[dict[str, dict], str | None, dict[str, str]]:
+        """Replay the log → (live files by relpath, latest schema json,
+        renames); ``at_version`` stops the replay there (time travel)."""
         live: dict[str, dict] = {}
         schema_json: str | None = None
         renames: dict[str, str] = {}
         for c in self.commits():
+            if at_version is not None and c.version > at_version:
+                break
             for p in c.removed:
                 live.pop(p, None)
             for a in c.added:
@@ -199,9 +204,11 @@ class LakeTable:
                 df = df.withColumnRenamed(old, new)
         return df
 
-    def snapshot(self) -> DataFrame:
-        """Full table including lineage + bucket columns."""
-        live, schema_json, renames = self._state()
+    def snapshot(self, at_version: int | None = None) -> DataFrame:
+        """Full table including lineage + bucket columns; ``at_version``
+        reads the table as of that commit (time travel — every commit's file
+        set is reconstructable until vacuum() removes dead files)."""
+        live, schema_json, renames = self._state(at_version)
         df = self._read_files(list(live))
         if df is not None:
             return df
@@ -216,9 +223,34 @@ class LakeTable:
             [], T.StructType([T.StructField(k, T.StringType()) for k in self.keys])
         )
 
-    def read(self) -> DataFrame:
+    def read(self, at_version: int | None = None) -> DataFrame:
         """User-facing view: tombstones filtered, lineage/bucket dropped."""
-        df = self.snapshot()
+        df = self.snapshot(at_version)
+        if _OP_COL in df.columns:
+            df = df.filter(F.col(_OP_COL) != F.lit("delete"))
+        drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
+        return df.drop(*drop)
+
+    def read_key(self, key_value) -> DataFrame:
+        """Bucket-pruned point lookup: reads ONLY the files of the bucket
+        `key_value` hashes to — O(table/n_buckets) I/O instead of a full
+        scan (the physical benefit of the bucket spec, same as Iceberg
+        bucket-partition pruning)."""
+        bucket = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets))
+                .cast("int")
+                .alias("b")
+            )
+            .first()["b"]
+        )
+        live, _, _ = self._state()
+        files = [p for p, a in live.items() if a["bucket"] == bucket]
+        df = self._read_files(files)
+        if df is None:
+            return self.read().limit(0)
+        df = df.filter(F.col(self.keys[0]) == F.lit(key_value))
         if _OP_COL in df.columns:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]

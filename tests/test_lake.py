@@ -203,3 +203,21 @@ def test_concurrent_commit_conflict_detected(spark, table):
     dup = Commit(version=v, batch_id="race-2", added=[], removed=[], schema_json=None)
     with pytest.raises(ConcurrentCommitError):
         table._write_commit(dup)
+
+
+def test_time_travel_reads_past_versions(spark, table):
+    c1 = table.merge(edf(spark, [ev("c1", 0, "v1", 1)]), "b1")
+    c2 = table.merge(edf(spark, [ev("c1", 0, "v2", 2), ev("c2", 0, "x", 2)]), "b2")
+    assert table.read(at_version=c1.version).collect()[0].text == "v1"
+    now = {(r.conv_id, r.turn_idx): r.text for r in table.read(at_version=c2.version).collect()}
+    assert now == {("c1", 0): "v2", ("c2", 0): "x"}
+    assert table.read().count() == 2  # latest unchanged
+
+
+def test_read_key_bucket_pruned_point_lookup(spark, table):
+    table.merge(edf(spark, [ev(f"c{i}", t, f"{i}:{t}", 1) for i in range(20) for t in range(2)]), "b1")
+    out = table.read_key("c7").orderBy("turn_idx").collect()
+    assert [(r.conv_id, r.turn_idx, r.text) for r in out] == [
+        ("c7", 0, "7:0"), ("c7", 1, "7:1"),
+    ]
+    assert table.read_key("no_such_conv").count() == 0
