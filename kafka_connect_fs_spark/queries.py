@@ -347,6 +347,64 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + agg — pushdown-friendly single pass."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+def q_set_ops_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations coverage (SURVEY §2.7): EXCEPT over user sets."""
+    e = t(spark, sf_dir, "events")
+    clicked = e.where(F.col("event_type") == "click").select("user_id").distinct()
+    purchased = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clicked.exceptAll(purchased)
+
+
+SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -699,6 +757,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue_rollup": q_region_revenue_rollup,
     "window_running_total": q_window_running_total,
     "topk_orders_per_priority": q_topk_orders_per_priority,
+    "q6_revenue_delta": q_q6_revenue_delta,
+    "distinct_users_per_type": q_distinct_users_per_type,
+    "set_ops_clicked_never_purchased": q_set_ops_clicked_never_purchased,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -725,6 +786,9 @@ ORACLES: dict[str, str] = {
     "region_revenue_rollup": SQL_REGION_ROLLUP,
     "window_running_total": SQL_WINDOW_RUNNING,
     "topk_orders_per_priority": SQL_TOPK_ORDERS,
+    "q6_revenue_delta": SQL_Q6,
+    "distinct_users_per_type": SQL_DISTINCT_USERS,
+    "set_ops_clicked_never_purchased": SQL_SET_OPS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
