@@ -391,17 +391,21 @@ FROM events GROUP BY event_type
 
 
 def q_set_ops_clicked_never_purchased(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set operations coverage (SURVEY §2.7): EXCEPT over user sets."""
+    """Set operations coverage (SURVEY §2.7): EXCEPT over (user, day) sets —
+    days a user clicked but bought nothing."""
     e = t(spark, sf_dir, "events")
-    clicked = e.where(F.col("event_type") == "click").select("user_id").distinct()
-    purchased = e.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    clicked = e.where(F.col("event_type") == "click").select("user_id", day).distinct()
+    purchased = e.where(F.col("event_type") == "purchase").select("user_id", day).distinct()
     return clicked.exceptAll(purchased)
 
 
 SQL_SET_OPS = """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'click'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+FROM events WHERE event_type = 'purchase'
 """
 
 
