@@ -395,3 +395,21 @@ def test_run_loop_tolerates_batch_failures(spark, tmp_path, monkeypatch):
     assert len(results) == 2  # first trigger failed, two succeeded
     assert results[0].recovered is True  # the replayed batch
     assert_matches_oracle(engine, rows)
+
+
+def test_agnostic_mixed_format_directory(spark, tmp_path):
+    """One source dir with .jsonl AND .csv change-event files — extension
+    dispatch (AgnosticFileReader parity) unions both parses into one MERGE."""
+    from kafka_connect_fs_spark.testing.generator import write_csv
+
+    engine = make_engine(spark, tmp_path, fmt="agnostic")
+    rows = transcript_change_events(8, 2, n_versions=2)
+    half = len(rows) // 2
+    write_jsonl(rows[:half], str(tmp_path / "src" / "a.jsonl"))
+    write_csv(rows[half:], str(tmp_path / "src" / "b.csv"))
+    res = engine.run_once()
+    assert res.n_files == 2
+    assert_matches_oracle(engine, rows)
+    # both watermarks committed to eof
+    wm = {os.path.basename(r.path): r.eof for r in engine.watermarks.load().collect()}
+    assert wm == {"a.jsonl": True, "b.csv": True}
