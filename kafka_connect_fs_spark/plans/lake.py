@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_connect_fs_spark.functions.hashing import spark_xxhash64
 from kafka_connect_fs_spark.operators.lww import lww_dedup
 
 _LOG_DIR = "_log"
@@ -235,16 +236,9 @@ class LakeTable:
         """Bucket-pruned point lookup: reads ONLY the files of the bucket
         `key_value` hashes to — O(table/n_buckets) I/O instead of a full
         scan (the physical benefit of the bucket spec, same as Iceberg
-        bucket-partition pruning)."""
-        bucket = (
-            self.spark.range(1)
-            .select(
-                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(self.n_buckets))
-                .cast("int")
-                .alias("b")
-            )
-            .first()["b"]
-        )
+        bucket-partition pruning). The bucket id comes from the driver-side
+        xxhash64 twin (functions/hashing.py) — no Spark job per lookup."""
+        bucket = spark_xxhash64(key_value) % self.n_buckets
         live, _, _ = self._state()
         files = [p for p, a in live.items() if a["bucket"] == bucket]
         df = self._read_files(files)

@@ -651,7 +651,7 @@ sess AS (
   SELECT *, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
   FROM gaps)
-SELECT user_id, session_no,
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
        count(*) AS n_events,
        strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
        strftime(max(ts), '{TS_FMT_DUCK}') AS session_end,

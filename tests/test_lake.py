@@ -221,3 +221,20 @@ def test_read_key_bucket_pruned_point_lookup(spark, table):
         ("c7", 0, "7:0"), ("c7", 1, "7:1"),
     ]
     assert table.read_key("no_such_conv").count() == 0
+
+
+def test_xxhash64_parity(spark):
+    """Driver-side xxhash64 twin must equal Spark's F.xxhash64 (seed 42)
+    for strings and longs — read_key's bucket pruning depends on it."""
+    from kafka_connect_fs_spark.functions.hashing import spark_xxhash64
+
+    strs = ["", "a", "conv-000123", "x" * 31, "y" * 32, "z" * 100, "héllo ✓"]
+    ints = [0, 1, -1, 42, 2**62, -(2**62)]
+    got_s = spark.createDataFrame([(s,) for s in strs], "s string").select(
+        "s", F.xxhash64("s").alias("h")
+    ).collect()
+    assert all(spark_xxhash64(r.s) == r.h for r in got_s)
+    got_i = spark.createDataFrame([(i,) for i in ints], "i long").select(
+        "i", F.xxhash64("i").alias("h")
+    ).collect()
+    assert all(spark_xxhash64(r.i) == r.h for r in got_i)
