@@ -64,24 +64,36 @@ def cosine_topk(
     )
 
 
-def _hyperplane_signs(table: int, plane: int, dim: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane: component i has sign derived
-    from md5(f"{table}:{plane}:{i}") parity — reproducible in any engine.
+QUANT = 1_000_000  # embedding quantization for integer-exact projections
+
+
+def _hyperplane_signs(table: int, plane: int, dim: int) -> list[int]:
+    """Deterministic pseudo-random hyperplane: component i has sign ±1
+    derived from md5(f"{table}:{plane}:{i}") parity — reproducible in any
+    engine (the DuckDB oracle rebuilds the same planes from the same md5).
     Computed ONCE driver-side and shipped as a literal array, so the
     per-row work is a single zip_with dot product (no per-row hashing)."""
     import hashlib
 
     return [
-        1.0 if int(hashlib.md5(f"{table}:{plane}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        1 if int(hashlib.md5(f"{table}:{plane}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
         for i in range(dim)
     ]
 
 
+def _quantize(vec: Column) -> Column:
+    """floor(double(x) * QUANT) as long: float32→double widening is exact
+    and floor-of-double is engine-exact, so the projection below is pure
+    int64 arithmetic — its sign can NEVER flip between engines (the float
+    dot product could, at near-zero projections)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
+
+
 def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
-    signs = F.array(*[F.lit(s) for s in _hyperplane_signs(table, plane, dim)])
+    signs = F.array(*[F.lit(s).cast("long") for s in _hyperplane_signs(table, plane, dim)])
     proj = F.aggregate(
-        F.zip_with(_as_double(vec), signs, lambda x, s: x * s),
-        F.lit(0.0),
+        F.zip_with(_quantize(vec), signs, lambda x, s: x * s),
+        F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
     return (proj >= 0).cast("int")
@@ -106,13 +118,14 @@ def _lsh_buckets_pandas(df: DataFrame, vec_col: str, n_tables: int, n_planes: in
             for t in range(n_tables)
             for p in range(n_planes)
         ],
-        dtype=np.float64,
+        dtype=np.int64,
     )  # [tables*planes, dim]
 
     @pandas_udf("array<string>")
     def buckets(v: pd.Series) -> pd.Series:
         V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        bits = (V @ H.T) >= 0  # [n, tables*planes]
+        Vq = np.floor(V * QUANT).astype(np.int64)  # same quantization as _quantize
+        bits = (Vq @ H.T) >= 0  # [n, tables*planes], integer-exact signs
         out = []
         for row in bits:
             out.append(
@@ -151,17 +164,22 @@ def lsh_topk(
             ).limit(0)
         dim = first[0]
     q_b = _lsh_buckets_pandas(queries, vec_q, n_tables, n_planes, dim).select(
-        "*", F.explode("_buckets").alias("bucket")
-    ).drop("_buckets")
+        q_id, F.explode("_buckets").alias("bucket")
+    )
     c_b = _lsh_buckets_pandas(corpus, vec_n, n_tables, n_planes, dim).select(
-        "*", F.explode("_buckets").alias("bucket")
-    ).drop("_buckets")
-    cand = (
+        n_id, F.explode("_buckets").alias("bucket")
+    )
+    # dedupe candidates on (q_id, n_id) ONLY — shuffling the 64-float
+    # payloads through the distinct would move ~n_tables× the vector bytes;
+    # vectors are re-joined once per surviving pair instead (queries side
+    # broadcast: ANN query sets are small by construction)
+    cand_ids = (
         q_b.join(c_b, "bucket")
         .where(F.col(q_id) != F.col(n_id))
-        .select(q_id, n_id, vec_q, vec_n)
+        .select(q_id, n_id)
         .distinct()
     )
+    cand = cand_ids.join(corpus, n_id).join(F.broadcast(queries), q_id)
     scored = cand.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
     return (

@@ -692,16 +692,62 @@ FROM dots WHERE round(dot / (na * nb), 4) >= 0.35
 """
 
 
-# rows-only (no SQL oracle — custom distributed ops)
-
-
 def q_embed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH. Oracle-able because bucketing
+    is integer-exact: embeddings are quantized (floor(x*1e6) as int64) and
+    hyperplane signs are md5-derived ±1, so the candidate set — not just
+    the re-ranked scores — is bit-identical in DuckDB."""
     e = t(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
     )
     c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
     return S.lsh_topk(q, c, k=5, n_tables=4, n_planes=6)
+
+
+SQL_EMBED_KNN_LSH = """
+WITH hp AS (
+  SELECT tt.t AS t, pp.p AS p, ii.i AS i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(tt.t AS VARCHAR) || ':' || CAST(pp.p AS VARCHAR)
+                                             || ':' || CAST(ii.i - 1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+       (SELECT unnest(generate_series(0, 5)) AS p) pp,
+       (SELECT unnest(generate_series(1, 64)) AS i) ii),
+vexp AS (
+  SELECT vec_id, u.i AS i, embedding[u.i]::DOUBLE AS xv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT v.vec_id, hp.t, hp.p,
+         sum(CAST(floor(v.xv * 1000000) AS BIGINT) * hp.s) AS pr
+  FROM vexp v JOIN hp ON hp.i = v.i
+  GROUP BY v.vec_id, hp.t, hp.p),
+bucket AS (
+  SELECT vec_id,
+         CAST(t AS VARCHAR) || '#' ||
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id AS n_id
+  FROM bucket qb JOIN bucket cb USING (bucket)
+  WHERE qb.vec_id < 10 AND qb.vec_id <> cb.vec_id),
+dots AS (
+  SELECT c.q_id, c.n_id,
+         sum(a.xv * b.xv) AS dot,
+         sqrt(sum(a.xv * a.xv)) AS na,
+         sqrt(sum(b.xv * b.xv)) AS nb
+  FROM cand c
+  JOIN vexp a ON a.vec_id = c.q_id
+  JOIN vexp b ON b.vec_id = c.n_id AND b.i = a.i
+  GROUP BY c.q_id, c.n_id),
+ranked AS (
+  SELECT q_id, n_id, round(dot / (na * nb), 4) AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (na * nb), 4) DESC, n_id) AS rank
+  FROM dots)
+SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -806,7 +852,9 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
-    # embed_knn_lsh: rows-only (ANN with float-sign bucketing — near-zero
-    # projections could flip buckets on cross-engine float drift; its
-    # quality is gated by the recall-vs-exact test instead)
+    # embed_knn_lsh gained an oracle in r02: bucketing is now integer-exact
+    # (quantized embeddings × md5-derived ±1 planes), so the candidate set
+    # is engine-independent; recall quality is separately gated by the
+    # recall-vs-exact test in tests/test_functions.py
+    "embed_knn_lsh": SQL_EMBED_KNN_LSH,
 }
