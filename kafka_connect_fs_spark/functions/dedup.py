@@ -125,13 +125,33 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold_bp: int = 5000,
     block_col: str | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard (integer basis points — engine-exact) over k-shingle
     sets for pairs sharing ≥1 shingle (optionally blocked by e.g. language
-    to bound the pair space)."""
+    to bound the pair space).
+
+    ``max_shingle_df`` is the web-scale guard: a shingle present in N docs
+    emits N² rows in the candidate self-join, so one stopword-like trigram
+    shared by 10^6 documents would alone produce 10^12 pair rows. Capping
+    document frequency drops those shingles from BOTH the intersection and
+    the set sizes — the result is exact Jaccard over the df-filtered
+    shingle sets (hot shingles carry no dedup signal; rare ones do), and
+    the per-shingle join fanout is bounded by cap². Corpora needing
+    uncapped semantics at scale should use the MinHash path instead."""
     sh = shingles(df, text_col, id_col, k)
     if block_col:
         sh = sh.join(df.select(id_col, block_col), id_col)
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        # left-semi on the same key as the pair join: partial-agg df count,
+        # then the hot shingles never reach the quadratic join
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     join_keys = ["shingle"] + ([block_col] if block_col else [])
     a = sh.select(F.col(id_col).alias("doc_a"), *join_keys)

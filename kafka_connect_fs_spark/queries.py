@@ -449,15 +449,24 @@ WHERE a.doc_id < b.doc_id
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold_bp=5000)
+    """Exact Jaccard with the hot-shingle guard active (df cap 1000 —
+    far above any test-SF df, so results equal the uncapped semantics
+    here, while the plan is the one that survives a skewed web corpus)."""
+    return D.ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold_bp=5000, max_shingle_df=1000
+    )
 
 
 SQL_DEDUP_JACCARD = """
 WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
   WHERE length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0),
+sh AS (
+  SELECT sh0.* FROM sh0
+  JOIN (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 1000) r
+  USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter

@@ -128,3 +128,32 @@ def test_lsh_topk_recall_vs_exact(spark):
     approx = {(r.q_id, r.n_id) for r in S.lsh_topk(q, c, k=5, n_tables=8, n_planes=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # 8 tables × 4 planes on 64-dim random data
+
+
+def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
+    """One shingle shared by EVERY doc must not explode the pair join:
+    with max_shingle_df set, candidate work stays O(docs), and docs whose
+    only overlap is the hot shingle produce no pairs at all. A true
+    near-dup pair (overlapping rare shingles) still comes through."""
+    n = 60
+    rows = [(i, f"the quick brown u{i}a u{i}b u{i}c u{i}d") for i in range(n)]
+    rows.append((n, f"the quick brown u0a u0b u0c u0d extra"))  # near-dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.ngram_jaccard_pairs(docs, threshold_bp=1000, max_shingle_df=5)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # 'the quick brown' (df=61 > cap) is excluded everywhere: the only
+    # surviving pair shares rare u0* shingles
+    assert got == {(0, n)}
+
+    # and the intermediate candidate space is bounded: uncapped, the hot
+    # shingle alone creates n*(n+1)/2 candidate pairs
+    sh = D.shingles(docs)
+    rare = (
+        sh.groupBy("shingle").count().where(F.col("count") <= 5).select("shingle")
+    )
+    sh_f = sh.join(rare, "shingle", "left_semi")
+    a = sh_f.selectExpr("doc_id doc_a", "shingle")
+    b = sh_f.selectExpr("doc_id doc_b", "shingle")
+    n_cand = a.join(b, "shingle").where("doc_a < doc_b").count()
+    assert n_cand < 2 * n  # vs ~1830 uncapped from the hot shingle alone
