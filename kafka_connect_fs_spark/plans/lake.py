@@ -3,25 +3,33 @@
 Why this exists: BASELINE.json mandates "MERGE INTO an Iceberg table keyed
 (conv_id, turn_idx) with last-writer-wins on ts". This sandbox ships no
 iceberg-spark-runtime jar (and no network), so this module provides an
-Iceberg-*shaped* table: an append-only JSON commit log, immutable parquet
-data files hash-bucketed by key, snapshot reads, copy-on-write MERGE at
-bucket granularity, schema evolution (add / rename), and idempotent commits
-keyed by ``batch_id``. The physical plan of ``merge`` is exactly what
-Iceberg's Spark MERGE INTO produces for a bucket-partitioned table:
-scan-affected-buckets ∪ source → shuffle on key → per-key resolve → rewrite
-affected buckets. On a cluster with Iceberg available, ``IngestEngine`` can
-swap this for ``spark.sql("MERGE INTO ...")`` without touching callers.
+Iceberg-*shaped* table: an append-only JSON commit log with periodic state
+checkpoints, immutable parquet data files hash-bucketed by key, snapshot
+reads, MERGE in copy-on-write OR merge-on-read mode, schema evolution
+(add / rename), and idempotent commits keyed by ``batch_id``. On a cluster
+with Iceberg available, ``IngestEngine`` can swap this for
+``spark.sql("MERGE INTO ...")`` without touching callers.
 
 Scale design (100 TB / 10^10 events):
-- Bucket pruning: a merge touches only buckets present in the source batch —
-  the driver collects *bucket ids* (≤ n_buckets, e.g. 1024), never rows.
+- Merge-on-read (the engine default): each batch appends ONE
+  bucket-partitioned delta file set — write amplification O(batch), never
+  O(table); readers LWW-resolve across files; compact() folds deltas down.
+  CoW remains for low-frequency loads touching few buckets (there, bucket
+  pruning bounds the rewrite: the driver collects *bucket ids*, never rows).
 - The per-key LWW resolve is a declarative aggregate (partial agg map-side),
   so hot conv_ids do not skew the shuffle (see operators/lww.py); AQE
   additionally splits any residual skewed partitions.
-- Commit metadata (file lists, row counts) is O(files-touched), not O(rows).
+- Commit metadata (file lists, row counts, per-file [ts_min, ts_max]
+  footer stats) is O(files-touched), not O(rows); the ts stats give
+  read_range() Iceberg-manifest-style file pruning by event time.
+- Log replay is O(suffix): every _ckpt_every commits a _state checkpoint
+  is written (the Delta checkpoint pattern), so a 10^5-commit daemon pays
+  O(1) log reads per batch, not O(total commits).
 - Atomicity: commits become visible via an O_EXCL create of the next log
   version — the standard lakehouse commit protocol (Delta/Iceberg use the
-  same rename/put-if-absent primitive on object stores).
+  same rename/put-if-absent primitive on object stores). Every write
+  attempt lands in a unique data dir, so a losing concurrent writer can
+  only leave vacuum-able orphans, never clobber committed files.
 
 Reference parity notes: the reference emits records to Kafka at-least-once
 (docs/source/faq.rst:7-17); this table upgrades that to exactly-once lake
@@ -56,6 +64,12 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+def _iso(ts) -> str:
+    """Timestamp → ISO string comparable with stored file stats (isoformat
+    strings of equal precision compare correctly as strings)."""
+    return ts if isinstance(ts, str) else ts.isoformat()
+
+
 @dataclass
 class Commit:
     version: int
@@ -75,12 +89,43 @@ class Commit:
         return Commit(**json.loads(s))
 
 
+@dataclass
+class _State:
+    """Replayed log state. ``version`` is the last commit applied."""
+
+    version: int = -1
+    live: dict = field(default_factory=dict)  # relpath -> added-entry dict
+    schema_json: str | None = None
+    renames: dict = field(default_factory=dict)
+    batch_ids: dict = field(default_factory=dict)  # batch_id -> version
+
+    def copy(self) -> "_State":
+        return _State(
+            self.version, dict(self.live), self.schema_json,
+            dict(self.renames), dict(self.batch_ids),
+        )
+
+
 class LakeTable:
     """A keyed, bucketed, transactional parquet table supporting MERGE.
 
-    Keys + bucketing spec are fixed at create time (like an Iceberg partition
-    spec); schema may evolve (add columns, rename columns).
+    Keys + bucketing spec + merge mode are fixed at create time (like an
+    Iceberg partition spec); schema may evolve (add columns, rename columns).
+
+    ``merge_mode``:
+    - ``"cow"`` (copy-on-write): merge resolves LWW at write time and
+      rewrites every affected bucket — reads are resolve-free, but a
+      steady-state stream touching all buckets rewrites the whole table
+      per batch.
+    - ``"mor"`` (merge-on-read): merge appends one delta file set per
+      batch (write amplification O(batch), never O(table)); reads resolve
+      LWW across base+delta files; ``compact()`` folds deltas back into
+      one resolved file per bucket. This is the mode a 10^10-event
+      steady-state CDC stream needs (Iceberg's MoR row-level deletes have
+      the same shape).
     """
+
+    _ckpt_every = 25  # commits between _state checkpoints (Delta: 10)
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -91,6 +136,9 @@ class LakeTable:
         self.keys: list[str] = meta["keys"]
         self.ts_col: str = meta["ts_col"]
         self.n_buckets: int = meta["n_buckets"]
+        self.merge_mode: str = meta.get("merge_mode", "cow")
+        self._mem: _State | None = None
+        self._commit_cache: dict[str, Commit] = {}
 
     # ---------------------------------------------------------------- create
     @staticmethod
@@ -100,7 +148,10 @@ class LakeTable:
         keys: Sequence[str],
         ts_col: str,
         n_buckets: int = 16,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         os.makedirs(os.path.join(root, _LOG_DIR), exist_ok=True)
         os.makedirs(os.path.join(root, _DATA_DIR), exist_ok=True)
         meta_path = os.path.join(root, _TABLE_META)
@@ -108,7 +159,13 @@ class LakeTable:
             tmp = meta_path + f".tmp.{uuid.uuid4().hex}"
             with open(tmp, "w") as f:
                 json.dump(
-                    {"keys": list(keys), "ts_col": ts_col, "n_buckets": n_buckets}, f
+                    {
+                        "keys": list(keys),
+                        "ts_col": ts_col,
+                        "n_buckets": n_buckets,
+                        "merge_mode": merge_mode,
+                    },
+                    f,
                 )
             os.rename(tmp, meta_path)
         return LakeTable(spark, root)
@@ -121,50 +178,101 @@ class LakeTable:
     def _log_path(self, version: int) -> str:
         return os.path.join(self.root, _LOG_DIR, f"{version:020d}.json")
 
-    def commits(self) -> list[Commit]:
-        """Replay the log, caching parsed commits (commit files are
-        immutable once created, so the cache only ever appends)."""
-        cache = getattr(self, "_commit_cache", {})
+    def _list_commit_names(self) -> list[str]:
         d = os.path.join(self.root, _LOG_DIR)
-        names = sorted(n for n in os.listdir(d) if re.fullmatch(r"\d{20}\.json", n))
-        out = []
-        for name in names:
-            if name not in cache:
-                with open(os.path.join(d, name)) as f:
-                    cache[name] = Commit.from_json(f.read())
-            out.append(cache[name])
-        self._commit_cache = cache
-        return out
+        return sorted(n for n in os.listdir(d) if re.fullmatch(r"\d{20}\.json", n))
+
+    def _load_commit(self, name: str) -> Commit:
+        """Parse one commit file, cached (commit files are immutable)."""
+        c = self._commit_cache.get(name)
+        if c is None:
+            with open(os.path.join(self.root, _LOG_DIR, name)) as f:
+                c = self._commit_cache[name] = Commit.from_json(f.read())
+        return c
+
+    def commits(self) -> list[Commit]:
+        """Full replay (history/debug path — hot paths use _state_full,
+        which starts from a checkpoint and reads only the log suffix)."""
+        return [self._load_commit(n) for n in self._list_commit_names()]
 
     def latest_version(self) -> int:
-        cs = self.commits()
-        return cs[-1].version if cs else -1
+        names = self._list_commit_names()
+        return int(names[-1][:20]) if names else -1
 
     def get_commit_by_batch_id(self, batch_id: str) -> Commit | None:
-        for c in self.commits():
-            if c.batch_id == batch_id:
-                return c
-        return None
+        v = self._state_full().batch_ids.get(batch_id)
+        return None if v is None else self._load_commit(f"{v:020d}.json")
+
+    # ------------------------------------------------------ state replay
+    @staticmethod
+    def _apply_commit(st: _State, c: Commit) -> None:
+        for p in c.removed:
+            st.live.pop(p, None)
+        for a in c.added:
+            st.live[a["path"]] = a
+        if c.schema_json:
+            st.schema_json = c.schema_json
+        st.renames.update(c.renames or {})
+        if c.batch_id is not None:
+            st.batch_ids[c.batch_id] = c.version
+        st.version = c.version
+
+    def _ckpt_path(self, version: int) -> str:
+        return os.path.join(self.root, _LOG_DIR, f"{version:020d}.ckpt.json")
+
+    def _latest_ckpt(self, max_version: int) -> _State | None:
+        d = os.path.join(self.root, _LOG_DIR)
+        best = -1
+        for n in os.listdir(d):
+            m = re.fullmatch(r"(\d{20})\.ckpt\.json", n)
+            if m and int(m.group(1)) <= max_version:
+                best = max(best, int(m.group(1)))
+        if best < 0:
+            return None
+        try:
+            with open(self._ckpt_path(best)) as f:
+                raw = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return None  # torn/missing checkpoint → full replay fallback
+        return _State(
+            version=raw["version"], live=raw["live"],
+            schema_json=raw["schema_json"], renames=raw["renames"],
+            batch_ids=raw["batch_ids"],
+        )
+
+    def _state_full(self, at_version: int | None = None) -> _State:
+        """Replayed state with O(suffix) log reads: start from the
+        in-memory cache (a long-running daemon replays only commits that
+        appeared since its last batch) or the newest on-disk checkpoint
+        (cold start reads ≤ _ckpt_every commit files, the Delta-checkpoint
+        pattern), never the whole log."""
+        names = self._list_commit_names()
+        if at_version is not None:
+            names = [n for n in names if int(n[:20]) <= at_version]
+        target = int(names[-1][:20]) if names else -1
+        base: _State | None = None
+        if self._mem is not None and self._mem.version <= target:
+            base = self._mem
+        if base is None:
+            base = self._latest_ckpt(target) or _State()
+        if base.version < target:
+            st = base.copy()
+            for n in names:
+                if int(n[:20]) > st.version:
+                    self._apply_commit(st, self._load_commit(n))
+        else:
+            st = base
+        if at_version is None and (self._mem is None or st.version >= self._mem.version):
+            self._mem = st
+        return st
 
     def _state(
         self, at_version: int | None = None
     ) -> tuple[dict[str, dict], str | None, dict[str, str]]:
-        """Replay the log → (live files by relpath, latest schema json,
-        renames); ``at_version`` stops the replay there (time travel)."""
-        live: dict[str, dict] = {}
-        schema_json: str | None = None
-        renames: dict[str, str] = {}
-        for c in self.commits():
-            if at_version is not None and c.version > at_version:
-                break
-            for p in c.removed:
-                live.pop(p, None)
-            for a in c.added:
-                live[a["path"]] = a
-            if c.schema_json:
-                schema_json = c.schema_json
-            renames.update(c.renames or {})
-        return live, schema_json, renames
+        """(live files by relpath, latest schema json, renames);
+        ``at_version`` stops the replay there (time travel)."""
+        st = self._state_full(at_version)
+        return st.live, st.schema_json, st.renames
 
     def _write_commit(self, commit: Commit) -> None:
         path = self._log_path(commit.version)
@@ -182,6 +290,25 @@ class LakeTable:
             raise ConcurrentCommitError(f"version {commit.version} already committed")
         finally:
             os.unlink(tmp)
+        if commit.version > 0 and commit.version % self._ckpt_every == 0:
+            self._write_checkpoint()
+
+    def _write_checkpoint(self) -> None:
+        """Snapshot the replayed state next to the log (crash-safe: a torn
+        checkpoint is ignored and replay falls back to the previous one)."""
+        st = self._state_full()
+        path = self._ckpt_path(st.version)
+        tmp = path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "version": st.version, "live": st.live,
+                    "schema_json": st.schema_json, "renames": st.renames,
+                    "batch_ids": st.batch_ids,
+                },
+                f,
+            )
+        os.replace(tmp, path)
 
     # ----------------------------------------------------------------- read
     def _bucket_expr(self, col: str) -> F.Column:
@@ -224,9 +351,20 @@ class LakeTable:
             [], T.StructType([T.StructField(k, T.StringType()) for k in self.keys])
         )
 
+    def _resolve(self, df: DataFrame) -> DataFrame:
+        """MoR read-time LWW resolve: one row per key across base+delta
+        files (map-side partial max_by — hot keys don't skew, see
+        operators/lww.py). CoW files are already resolved at write time."""
+        if self.merge_mode != "mor":
+            return df
+        if not all(k in df.columns for k in self.keys) or self.ts_col not in df.columns:
+            return df  # never-written placeholder frame
+        return lww_dedup(df, self.keys, self.ts_col)
+
     def read(self, at_version: int | None = None) -> DataFrame:
-        """User-facing view: tombstones filtered, lineage/bucket dropped."""
-        df = self.snapshot(at_version)
+        """User-facing view: LWW-resolved (MoR), tombstones filtered,
+        lineage/bucket dropped."""
+        df = self._resolve(self.snapshot(at_version))
         if _OP_COL in df.columns:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
@@ -244,11 +382,55 @@ class LakeTable:
         df = self._read_files(files)
         if df is None:
             return self.read().limit(0)
+        # filter BEFORE the MoR resolve: the LWW shuffle then carries only
+        # this key's rows, not the whole bucket
         df = df.filter(F.col(self.keys[0]) == F.lit(key_value))
+        df = self._resolve(df)
         if _OP_COL in df.columns:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
         return df.drop(*drop)
+
+    def read_range(self, ts_from=None, ts_to=None) -> DataFrame:
+        """Event-time range read pruned at the FILE level: commits record
+        per-file [ts_min, ts_max] from the parquet footers (the manifest
+        column stats Iceberg keeps), so a query over the last day of a
+        10^10-row table opens only the delta files that day touched —
+        that's the temporal dimension of the layout, without making day a
+        *partition of the key space* (which would break cross-day LWW:
+        a key's versions must stay co-located by bucket).
+
+        Rows are filtered to ts_from <= ts < ts_to; in MoR mode, versions
+        are resolved among the in-range files — i.e. "latest state of the
+        keys as touched within the window", the incremental-export
+        semantics. Files with unknown stats are conservatively read."""
+        files = self.files_in_range(ts_from, ts_to)
+        df = self._read_files(files)
+        if df is None:
+            return self.read().limit(0)
+        if ts_from is not None:
+            df = df.filter(F.col(self.ts_col) >= F.lit(ts_from))
+        if ts_to is not None:
+            df = df.filter(F.col(self.ts_col) < F.lit(ts_to))
+        df = self._resolve(df)
+        if _OP_COL in df.columns:
+            df = df.filter(F.col(_OP_COL) != F.lit("delete"))
+        drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
+        return df.drop(*drop)
+
+    def files_in_range(self, ts_from=None, ts_to=None) -> list[str]:
+        """The live files read_range would open (exposed for tests/metrics)."""
+        live, _, _ = self._state()
+        out = []
+        for p, a in live.items():
+            lo, hi = a.get("ts_min"), a.get("ts_max")
+            if lo is None or hi is None:
+                out.append(p)
+            elif (ts_to is None or lo < _iso(ts_to)) and (
+                ts_from is None or hi >= _iso(ts_from)
+            ):
+                out.append(p)
+        return sorted(out)
 
     # ---------------------------------------------------------------- merge
     def merge(
@@ -279,6 +461,8 @@ class LakeTable:
                     c, F.lit(0).cast("long") if c.endswith("offset") else F.lit("")
                 )
         src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+        if self.merge_mode == "mor":
+            return self._merge_mor(src, batch_id, app_metadata)
         # persist: the source feeds two jobs (bucket discovery + the merge
         # write) — don't recompute the upstream parse twice
         src = src.persist()
@@ -286,6 +470,58 @@ class LakeTable:
             return self._merge_persisted(src, batch_id, app_metadata)
         finally:
             src.unpersist()
+
+    def _merge_mor(
+        self, src: DataFrame, batch_id: str | None, app_metadata: dict | None
+    ) -> Commit:
+        """Merge-on-read apply: ONE bucket-partitioned delta write, no
+        target read, no rewrite — write amplification is O(batch) however
+        large the table (the CoW path rewrites every affected bucket, which
+        at steady state is the whole table per micro-batch). Readers
+        resolve LWW across files; compact() folds deltas down."""
+        st = self._state_full()
+        version = st.version + 1
+        cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"
+        cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        (
+            src.withColumn("_pb", F.col(_BUCKET_COL))
+            .repartition(F.col(_BUCKET_COL))
+            .write.partitionBy("_pb")
+            .mode("overwrite")
+            .parquet(cdir)
+        )
+        added = self._scan_written(cdir, cdir_rel)
+        commit = Commit(
+            version=version,
+            batch_id=batch_id,
+            added=added,
+            removed=[],
+            schema_json=self._union_schema_json(
+                st.schema_json, src.drop(_BUCKET_COL).schema
+            ),
+            app_metadata=app_metadata or {},
+            metrics={
+                "mode": "mor",
+                "affected_buckets": len({a["bucket"] for a in added}),
+                "rows_written": sum(a["rows"] for a in added),
+                "files_added": len(added),
+                "files_removed": 0,
+            },
+        )
+        self._write_commit(commit)
+        return commit
+
+    @staticmethod
+    def _union_schema_json(prev_json: str | None, new: T.StructType) -> str:
+        """Evolved table schema = previous fields + newly-seen fields (a
+        delta batch missing an optional column must not shrink the table
+        schema; _read_files(mergeSchema) fills the gaps with nulls)."""
+        if not prev_json:
+            return new.json()
+        prev = T.StructType.fromJson(json.loads(prev_json))
+        have = set(prev.fieldNames())
+        fields = list(prev.fields) + [f for f in new.fields if f.name not in have]
+        return T.StructType(fields).json()
 
     def _merge_persisted(
         self, src: DataFrame, batch_id: str | None, app_metadata: dict | None
@@ -315,7 +551,12 @@ class LakeTable:
         resolved = resolved.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
 
         version = self.latest_version() + 1
-        cdir_rel = f"c{version:020d}"
+        # unique dir per ATTEMPT, not per version: two writers racing to the
+        # same version must never write into the same directory (the loser's
+        # mode('overwrite') would delete the winner's already-committed
+        # files before losing the log race); losers leave only orphan files
+        # that vacuum() removes
+        cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
             # repartition by bucket WITHOUT pinning the partition count:
@@ -365,9 +606,40 @@ class LakeTable:
                     continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, os.path.join(self.root, _DATA_DIR))
-                rows = pq.ParquetFile(full).metadata.num_rows
-                added.append({"path": rel, "bucket": bucket, "rows": rows})
+                md = pq.ParquetFile(full).metadata
+                ts_min, ts_max = self._ts_stats(md)
+                added.append(
+                    {
+                        "path": rel, "bucket": bucket, "rows": md.num_rows,
+                        "ts_min": ts_min, "ts_max": ts_max,
+                    }
+                )
         return sorted(added, key=lambda a: a["path"])
+
+    def _ts_stats(self, md) -> tuple[str | None, str | None]:
+        """Per-file [min, max] of ts_col from parquet footer row-group
+        stats — the manifest column-stat Iceberg keeps, enabling
+        read_range() to prune whole files by event time."""
+        idx = next(
+            (
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).path == self.ts_col
+            ),
+            None,
+        )
+        if idx is None:
+            return None, None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None, None  # unknown → caller must not prune
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None, None
+        return lo.isoformat(), hi.isoformat()
 
     # ------------------------------------------------------ schema evolution
     def rename_column(self, old: str, new: str) -> Commit:
@@ -400,7 +672,10 @@ class LakeTable:
         """Rewrite buckets fragmented across ≥ min_files_per_bucket files
         into one file each — the lakehouse small-files compaction (Iceberg's
         rewrite_data_files). Logical content unchanged; commit is
-        batch_id=None (maintenance)."""
+        batch_id=None (maintenance). In MoR mode this is also the delta
+        fold-down: the rewrite LWW-resolves, leaving one row per key (the
+        winning tombstones included — they must keep absorbing older
+        replays until expire_tombstones)."""
         live, _, _ = self._state()
         by_bucket: dict[int, list[str]] = {}
         for p, a in live.items():
@@ -409,9 +684,9 @@ class LakeTable:
         if not targets:
             return None
         old_files = [p for ps in targets.values() for p in ps]
-        df = self._read_files(old_files)
+        df = self._resolve(self._read_files(old_files))
         version = self.latest_version() + 1
-        cdir_rel = f"c{version:020d}"
+        cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
             df.withColumn("_pb", F.col(_BUCKET_COL))
@@ -439,7 +714,10 @@ class LakeTable:
     def expire_tombstones(self, older_than) -> Commit | None:
         """Drop op='delete' tombstones with ts < older_than (safe once no
         replay can carry events older than the horizon). Rewrites only
-        buckets that contain expired tombstones."""
+        buckets that contain expired tombstones. In MoR mode the rewrite
+        LWW-resolves FIRST — dropping a winning tombstone while older
+        upserts of the key still sit in other delta files would resurrect
+        the key; resolving removes those losers in the same rewrite."""
         snap = self.snapshot()
         if _OP_COL not in snap.columns:
             return None
@@ -451,11 +729,11 @@ class LakeTable:
             return None
         live, _, _ = self._state()
         old_files = [p for p, a in live.items() if a["bucket"] in buckets]
-        df = self._read_files(old_files).filter(
+        df = self._resolve(self._read_files(old_files)).filter(
             ~((F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than)))
         )
         version = self.latest_version() + 1
-        cdir_rel = f"c{version:020d}"
+        cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
             df.withColumn("_pb", F.col(_BUCKET_COL))

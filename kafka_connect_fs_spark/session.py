@@ -37,6 +37,10 @@ def get_spark(
         # data_type_mapping_error=false policy (UnivocityFileReader.java:273-305).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # modern parquet timestamps: INT96 (the legacy default) carries NO
+        # footer statistics, which would disable LakeTable's per-file
+        # [ts_min, ts_max] manifest stats and read_range file pruning
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
     )

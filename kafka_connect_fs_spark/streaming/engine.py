@@ -84,6 +84,11 @@ class IngestConfig:
     keys: tuple = ("conv_id", "turn_idx")
     ts_col: str = "ts"
     n_buckets: int = 16
+    # "mor" (default): each batch appends a bucket-partitioned delta —
+    # write amplification O(batch); readers LWW-resolve and compact_every
+    # folds deltas down. "cow" rewrites affected buckets per batch (only
+    # sane for low-frequency batch loads touching few buckets).
+    merge_mode: str = "mor"
     files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
     bytes_per_trigger: int = 0  # 0 = unlimited (file_reader.batch_size /
     # maxBytesPerTrigger analog: caps the tail bytes admitted per batch)
@@ -130,6 +135,7 @@ class IngestEngine:
                 keys=list(config.keys),
                 ts_col=config.ts_col,
                 n_buckets=config.n_buckets,
+                merge_mode=config.merge_mode,
             )
         )
         self.watermarks = WatermarkStore(

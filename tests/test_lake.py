@@ -238,3 +238,191 @@ def test_xxhash64_parity(spark):
         "i", F.xxhash64("i").alias("h")
     ).collect()
     assert all(spark_xxhash64(r.i) == r.h for r in got_i)
+
+
+# ------------------------------------------------------------- merge-on-read
+
+
+@pytest.fixture()
+def mor_table(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "m"), keys=["conv_id", "turn_idx"], ts_col="ts",
+        n_buckets=4, merge_mode="mor",
+    )
+
+
+def test_mor_merge_never_rewrites_prior_files(spark, mor_table):
+    """The 100x-scale contract: a steady-state batch appends a delta and
+    touches NOTHING that exists — write amplification is O(batch), not
+    O(table) (CoW rewrites every affected bucket per batch)."""
+    t = mor_table
+    t.merge(edf(spark, [ev(f"c{i}", 0, f"t{i}", 1) for i in range(50)]), "b1")
+    before, _, _ = t._state()
+    c = t.merge(edf(spark, [ev("c1", 0, "upd", 9), ev("new", 0, "n", 9)]), "b2")
+    after, _, _ = t._state()
+    assert c.removed == [] and c.metrics["files_removed"] == 0
+    assert set(before) <= set(after)  # every prior file still live, untouched
+    rows = {r.conv_id: r.text for r in t.read().collect()}
+    assert rows["c1"] == "upd" and rows["c7"] == "t7" and rows["new"] == "n"
+    assert len(rows) == 51
+
+
+def test_mor_semantics_match_cow(spark, mor_table):
+    """LWW, stale-loses, tombstone-blocks-zombie, replay no-op — the full
+    upsert contract, resolved at read time instead of write time."""
+    t = mor_table
+    t.merge(edf(spark, [ev("c1", 0, "old", 1), ev("c2", 0, "keep", 1)]), "b1")
+    t.merge(edf(spark, [ev("c1", 0, "new", 5)]), "b2")
+    t.merge(edf(spark, [ev("c1", 0, "stale", 3)]), "b3")  # older ts loses
+    t.merge(edf(spark, [ev("c2", 0, "", 9, op="delete")]), "b4")
+    t.merge(edf(spark, [ev("c2", 0, "zombie", 4)]), "b5")  # must not resurrect
+    c_again = t.merge(edf(spark, [ev("c1", 0, "REPLAY", 99)]), "b2")  # replayed id
+    assert c_again.batch_id == "b2"
+    rows = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert rows == {("c1", 0): "new"}
+    # point lookup agrees
+    assert t.read_key("c1").collect()[0].text == "new"
+    assert t.read_key("c2").count() == 0
+
+
+def test_mor_compact_resolves_deltas(spark, mor_table):
+    t = mor_table
+    for i in range(5):
+        t.merge(edf(spark, [ev("c1", 0, f"v{i}", i), ev(f"c{i}", 1, "x", i)]), f"b{i}")
+    before = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    c = t.compact(min_files_per_bucket=1)
+    assert c is not None
+    after = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert after == before and after[("c1", 0)] == "v4"
+    # post-compaction: physically one resolved row per key in the files
+    snap = t.snapshot()
+    assert snap.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
+
+
+def test_mor_expire_tombstones_does_not_resurrect(spark, mor_table):
+    t = mor_table
+    t.merge(edf(spark, [ev("c1", 0, "body", 1)]), "b1")
+    t.merge(edf(spark, [ev("c1", 0, "", 10, op="delete")]), "b2")
+    c = t.expire_tombstones(ts(100))
+    assert c is not None
+    assert t.read().where("conv_id = 'c1'").count() == 0  # loser upsert gone too
+    assert t.snapshot().where("conv_id = 'c1'").count() == 0
+
+
+def test_mor_schema_union_survives_narrow_batches(spark, mor_table):
+    """A delta batch MISSING an optional column must not shrink the table
+    schema, and reads fill the gap with nulls (mergeSchema)."""
+    t = mor_table
+    wide = edf(spark, [ev("c1", 0, "a", 1)]).withColumn("quality", F.lit(0.9))
+    t.merge(wide, "b1")
+    t.merge(edf(spark, [ev("c2", 0, "b", 2)]), "b2")  # narrow batch
+    assert "quality" in [f.name for f in t.current_schema().fields]
+    got = {r.conv_id: r.quality for r in t.read().collect()}
+    assert got["c1"] == pytest.approx(0.9) and got["c2"] is None
+
+
+# -------------------------------------------------------- commit-log scaling
+
+
+def test_commit_log_checkpoint_bounds_replay_reads(spark, tmp_path, monkeypatch):
+    """500-commit table: planning state on a cold open reads O(ckpt_every)
+    log files, not O(total commits); a warm second call reads zero."""
+    from kafka_connect_fs_spark.plans.lake import Commit
+
+    root = str(tmp_path / "big")
+    t = LakeTable.create(spark, root, keys=["k"], ts_col="ts", n_buckets=4)
+    for v in range(500):
+        t._write_commit(
+            Commit(
+                version=v, batch_id=f"b{v}",
+                added=[{"path": f"f{v}.parquet", "bucket": 0, "rows": 1}],
+                removed=[], schema_json=None,
+            )
+        )
+        t._state_full()  # keep the in-memory state current (engine does)
+
+    fresh = LakeTable(spark, root)
+    opens = {"n": 0}
+    orig = LakeTable._load_commit
+
+    def counting(self, name):
+        opens["n"] += 1
+        return orig(self, name)
+
+    monkeypatch.setattr(LakeTable, "_load_commit", counting)
+    st = fresh._state_full()
+    assert st.version == 499 and len(st.live) == 500
+    assert st.batch_ids["b123"] == 123
+    assert opens["n"] <= LakeTable._ckpt_every, opens["n"]  # cold: suffix only
+    opens["n"] = 0
+    st2 = fresh._state_full()
+    assert st2.version == 499 and opens["n"] == 0  # warm: no log reads
+
+
+def test_time_travel_from_checkpointed_log(spark, tmp_path):
+    """at_version older than the newest checkpoint still replays exactly."""
+    from kafka_connect_fs_spark.plans.lake import Commit
+
+    root = str(tmp_path / "tt")
+    t = LakeTable.create(spark, root, keys=["k"], ts_col="ts", n_buckets=4)
+    for v in range(60):
+        t._write_commit(
+            Commit(version=v, batch_id=f"b{v}",
+                   added=[{"path": f"f{v}.parquet", "bucket": 0, "rows": 1}],
+                   removed=[] if v < 30 else [f"f{v-30}.parquet"],
+                   schema_json=None)
+        )
+        t._state_full()
+    fresh = LakeTable(spark, root)
+    st10 = fresh._state_full(at_version=10)
+    assert st10.version == 10 and len(st10.live) == 11
+    st59 = fresh._state_full()
+    assert st59.version == 59 and len(st59.live) == 30
+
+
+# ------------------------------------------------- concurrent-writer safety
+
+
+def test_losing_writer_cannot_clobber_committed_data(spark, tmp_path, monkeypatch):
+    """Two writers computing the same version: each attempt writes a unique
+    data dir, so the loser's mode('overwrite') can never delete the
+    winner's committed files — it only leaves orphans for vacuum()."""
+    from kafka_connect_fs_spark.plans.lake import ConcurrentCommitError, _State
+
+    root = str(tmp_path / "race")
+    t1 = LakeTable.create(spark, root, keys=["conv_id", "turn_idx"], ts_col="ts",
+                          n_buckets=4, merge_mode="mor")
+    t1.merge(edf(spark, [ev("c1", 0, "winner", 1)]), "b1")
+
+    t2 = LakeTable(spark, root)
+    # t2 raced: it planned against the pre-b1 state
+    monkeypatch.setattr(LakeTable, "_state_full",
+                        lambda self, at_version=None: _State())
+    with pytest.raises(ConcurrentCommitError):
+        t2.merge(edf(spark, [ev("c9", 0, "loser", 1)]), "b2")
+    monkeypatch.undo()
+
+    # winner's data intact and readable; loser left only orphans
+    t3 = LakeTable(spark, root)
+    assert [r.text for r in t3.read().collect()] == ["winner"]
+    assert t3.vacuum() >= 1  # loser's orphan files removed
+    assert [r.text for r in t3.read().collect()] == ["winner"]
+
+
+# --------------------------------------------------------- time-range reads
+
+
+def test_read_range_prunes_files_by_ts_stats(spark, mor_table):
+    """Per-file [ts_min, ts_max] footer stats recorded at commit time let
+    a time-window read skip files entirely (manifest-stat pruning)."""
+    t = mor_table
+    t.merge(edf(spark, [ev("c1", 0, "day0", 0), ev("c2", 0, "day0", 10)]), "b1")
+    t.merge(edf(spark, [ev("c3", 0, "day1", 86400), ev("c4", 0, "day1", 86410)]), "b2")
+    live, _, _ = t._state()
+    assert all(a.get("ts_min") and a.get("ts_max") for a in live.values())
+    pruned = t.files_in_range(ts_from=ts(86000))
+    assert 0 < len(pruned) < len(live)  # day-0 files skipped
+    rows = {r.conv_id for r in t.read_range(ts_from=ts(86000)).collect()}
+    assert rows == {"c3", "c4"}
+    rows0 = {r.conv_id for r in t.read_range(ts_to=ts(86000)).collect()}
+    assert rows0 == {"c1", "c2"}
