@@ -256,6 +256,7 @@ def _scan_one_range(
     import numpy as np
 
     comp = _compression_of(path)
+    clamp_truncated = False  # last line torn by the snapshot clamp?
     if comp:
         # offsets for compressed files are in *decompressed* bytes (the
         # compressed listing size only detects growth); no intra-file
@@ -285,7 +286,16 @@ def _scan_one_range(
                 # finish the straddling last line (clamped to the snapshot)
                 extra = stream.readline()
                 if extra:
-                    buf += extra[: max(0, logical_end - pos - len(buf))]
+                    avail = max(0, logical_end - pos - len(buf))
+                    if len(extra) > avail:
+                        # the line continues PAST the listing-time snapshot:
+                        # the file grew mid-read and this line is torn, not
+                        # ended. It must be held back (not emitted as a
+                        # corrupt half-record with the offset committed
+                        # mid-line) — emit_final is only for true
+                        # EOF-without-newline, never for a clamped tail.
+                        clamp_truncated = True
+                    buf += extra[:avail]
         finally:
             stream.close()
         at_end = pos + len(buf) >= logical_end
@@ -300,7 +310,7 @@ def _scan_one_range(
         parts.pop()  # trailing empty piece
     unterminated_last = not fully_terminated
     held_back = False
-    if unterminated_last and not (emit_final and at_end):
+    if unterminated_last and (clamp_truncated or not (emit_final and at_end)):
         parts.pop()  # still-growing tail: hold back for a later trigger
         unterminated_last = False
         held_back = True

@@ -155,6 +155,20 @@ class IngestEngine:
             if w is None:
                 work.append(WorkItem(f.path, 0, f.length))
                 continue
+            # shrank file = truncated or rotated IN PLACE: the committed
+            # offset points past the new content, so it is a brand-new file
+            # — re-ingest from 0 (idempotent LWW absorbs any overlap).
+            # Without this branch it would stall untracked forever, or
+            # worse: an eof=True watermark would treat the replacement as
+            # finished and cleanup=delete would remove it unread.
+            shrank = (
+                f.length < w["file_size"]
+                if _compressed(f.path)
+                else f.length < w["committed_offset"]
+            )
+            if shrank:
+                work.append(WorkItem(f.path, 0, f.length))
+                continue
             # compressed offsets are decompressed-bytes, so growth is judged
             # on the recorded compressed file_size instead
             grown = (
@@ -546,27 +560,71 @@ class IngestEngine:
 
     # -------------------------------------------------------------- cleanup
     def _cleanup(self, paths: list[str]) -> list[str]:
+        """Apply NONE/MOVE/DELETE to fully-consumed files
+        (AbstractPolicy.java:281-331, which routes through Hadoop FS for
+        ANY scheme — here pyarrow.fs plays that role for URI paths).
+
+        Returns only the paths whose side-effect actually applied (or was
+        verifiably already applied — NotFound under replay). A failed path
+        is warned and SKIPPED: its watermark row survives, so the file is
+        retried next trigger instead of being silently re-ingested forever."""
         mode = self.config.cleanup
         if mode == "none" or not paths:
             return []
         done = []
         for p in paths:
-            local = p[len("file://"):] if p.startswith("file://") else p
-            if not os.path.exists(local):
-                done.append(p)  # already cleaned (replay) — idempotent
-                continue
+            try:
+                self._cleanup_one(p, mode)
+                done.append(p)
+            except (OSError, ValueError) as e:
+                import sys
+
+                print(f"kcfs: cleanup failed for {p}, will retry: {e}", file=sys.stderr)
+        return done
+
+    def _cleanup_one(self, p: str, mode: str) -> None:
+        if "://" in p:
+            # pyarrow.fs for every URI scheme (file:// exercises the same
+            # code path the remote schemes take)
+            import pyarrow.fs as pafs
+
+            fs, sub = _fs_for_uri(p)
+            if fs.get_file_info(sub).type == pafs.FileType.NotFound:
+                return  # already cleaned (replay) — the ONLY idempotent case
             if mode == "delete":
-                os.unlink(local)
+                fs.delete_file(sub)
             elif mode == "move":
-                dest_dir = self.config.cleanup_move_dir
-                if not dest_dir:
-                    raise ValueError("cleanup=move requires cleanup_move_dir")
-                os.makedirs(dest_dir, exist_ok=True)
-                shutil.move(local, os.path.join(dest_dir, os.path.basename(local)))
+                dest_dir = self._require_move_dir()
+                if "://" in dest_dir:
+                    dfs, dsub = _fs_for_uri(dest_dir)
+                    if type(dfs) is not type(fs):
+                        raise ValueError(
+                            f"cleanup_move_dir {dest_dir!r} is on a different "
+                            f"filesystem than {p!r}"
+                        )
+                else:
+                    dfs, dsub = fs, dest_dir
+                dfs.create_dir(dsub, recursive=True)
+                fs.move(sub, f"{dsub.rstrip('/')}/{os.path.basename(sub)}")
             else:
                 raise ValueError(f"unknown cleanup mode: {mode}")
-            done.append(p)
-        return done
+            return
+        if not os.path.exists(p):
+            return  # already cleaned (replay)
+        if mode == "delete":
+            os.unlink(p)
+        elif mode == "move":
+            dest_dir = self._require_move_dir()
+            os.makedirs(dest_dir, exist_ok=True)
+            shutil.move(p, os.path.join(dest_dir, os.path.basename(p)))
+        else:
+            raise ValueError(f"unknown cleanup mode: {mode}")
+
+    def _require_move_dir(self) -> str:
+        dest = self.config.cleanup_move_dir
+        if not dest:
+            raise ValueError("cleanup=move requires cleanup_move_dir")
+        return dest
 
     # -------------------------------------------------------------- metrics
     def _log_metrics(self, res: BatchResult, merge_metrics: dict, added=None) -> None:
@@ -590,6 +648,14 @@ class IngestEngine:
             rec["rows_per_bucket"] = {str(k): v for k, v in sorted(per_bucket.items())}
         with open(self._metrics_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+
+
+def _fs_for_uri(uri: str):
+    """pyarrow FileSystem + in-FS path for a URI (indirection point: tests
+    substitute a fake remote FS here, since the pyarrow class is immutable)."""
+    import pyarrow.fs as pafs
+
+    return pafs.FileSystem.from_uri(uri)
 
 
 def _compressed(path: str) -> bool:

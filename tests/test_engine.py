@@ -413,3 +413,162 @@ def test_agnostic_mixed_format_directory(spark, tmp_path):
     # both watermarks committed to eof
     wm = {os.path.basename(r.path): r.eof for r in engine.watermarks.load().collect()}
     assert wm == {"a.jsonl": True, "b.csv": True}
+
+
+# ------------------------------------------------- scheme-agnostic cleanup
+
+
+def test_cleanup_through_file_uri_uses_pyarrow_path(spark, tmp_path):
+    """file:// URIs exercise the exact code path remote schemes take
+    (pyarrow.fs), end-to-end: discovery -> ingest -> MOVE on re-encounter."""
+    dest = tmp_path / "archive"
+    engine = make_engine(
+        spark, tmp_path,
+        uris=[f"file://{tmp_path / 'src'}"],
+        cleanup="move", cleanup_move_dir=str(dest),
+    )
+    rows = transcript_change_events(3, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    res = engine.run_once()  # re-encounter triggers the cleanup
+    assert res.cleaned
+    assert not (tmp_path / "src" / "a.jsonl").exists()
+    assert (dest / "a.jsonl").exists()
+    assert_matches_oracle(engine, rows)
+
+    # a URI-form path takes the pyarrow.fs branch explicitly: real move on
+    # the local filesystem driven through the FileSystem API
+    write_jsonl(rows, str(tmp_path / "src" / "b.jsonl"))
+    done = engine._cleanup([f"file://{tmp_path / 'src' / 'b.jsonl'}"])
+    assert done == [f"file://{tmp_path / 'src' / 'b.jsonl'}"]
+    assert not (tmp_path / "src" / "b.jsonl").exists()
+    assert (dest / "b.jsonl").exists()
+    # replay of the URI (now NotFound) is idempotent success
+    assert engine._cleanup([f"file://{tmp_path / 'src' / 'b.jsonl'}"]) == [
+        f"file://{tmp_path / 'src' / 'b.jsonl'}"
+    ]
+
+
+class _FakeRemoteFS:
+    """Minimal pyarrow.fs.FileSystem stand-in recording side-effects."""
+
+    def __init__(self, existing: set, calls: list):
+        self.existing, self.calls = existing, calls
+
+    def get_file_info(self, sub):
+        import types
+
+        import pyarrow.fs as pafs
+
+        t = pafs.FileType.File if sub in self.existing else pafs.FileType.NotFound
+        return types.SimpleNamespace(type=t)
+
+    def delete_file(self, sub):
+        self.calls.append(("delete", sub))
+        self.existing.discard(sub)
+
+
+def test_cleanup_remote_delete_and_replay_idempotence(spark, tmp_path, monkeypatch):
+    """Remote URIs: DELETE goes through the FS client; only NotFound counts
+    as already-cleaned replay; an FS error keeps the path OUT of `done`
+    (so its watermark row survives and the cleanup is retried) instead of
+    silently claiming success."""
+    import kafka_connect_fs_spark.streaming.engine as eng_mod
+
+    calls: list = []
+    fake = _FakeRemoteFS({"bucket/seen.jsonl"}, calls)
+    monkeypatch.setattr(
+        eng_mod, "_fs_for_uri", lambda uri: (fake, uri.split("://", 1)[1])
+    )
+    engine = make_engine(spark, tmp_path, cleanup="delete")
+
+    done = engine._cleanup(["s3://bucket/seen.jsonl"])
+    assert done == ["s3://bucket/seen.jsonl"]
+    assert calls == [("delete", "bucket/seen.jsonl")]
+
+    # replay: object already gone -> idempotent success, no second delete
+    done2 = engine._cleanup(["s3://bucket/seen.jsonl"])
+    assert done2 == ["s3://bucket/seen.jsonl"] and len(calls) == 1
+
+    # transient FS failure -> path NOT reported clean, no exception
+    def boom(sub):
+        raise OSError("503 slow down")
+
+    fake.existing.add("bucket/flaky.jsonl")
+    fake.delete_file = boom
+    assert engine._cleanup(["s3://bucket/flaky.jsonl"]) == []
+
+
+# ------------------------------------------------------- shrank / torn files
+
+
+def test_shrunk_file_reingested_from_zero(spark, tmp_path):
+    """Truncate-and-replace in place: committed offset points past the new
+    content -> treated as a brand-new file, not stalled or deleted unread."""
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(6, 3)
+    p = str(tmp_path / "src" / "rot.jsonl")
+    write_jsonl(rows, p)
+    engine.run_once()
+    import datetime as _dt
+
+    replacement = transcript_change_events(2, 2, seed=99)
+    # bump ts so the replacement wins LWW over the first generation
+    for i, r in enumerate(replacement):
+        r["ts"] = _dt.datetime(2031, 1, 1) + _dt.timedelta(seconds=i)
+    write_jsonl(replacement, p)  # overwrite: much smaller file
+    assert os.path.getsize(p) < engine.watermarks.load_dict()[p]["committed_offset"]
+    res = engine.run_once()
+    assert res.n_events == len(replacement)
+    got = table_state(engine)
+    for r in replacement:
+        assert got[(r["conv_id"], r["turn_idx"])] == r["text"]
+
+
+def test_torn_line_at_snapshot_boundary_held_back(spark, tmp_path):
+    """A line straddling the listing-time snapshot end (file still growing)
+    must be held back whole — never emitted as a torn half-record with the
+    offset committed mid-line (which would corrupt BOTH halves)."""
+    # byte-range scanner path (the native whole-file reader has no snapshot
+    # clamp to tear lines against)
+    engine = make_engine(spark, tmp_path, reader_options={"jvm_fast_path": False})
+    rows = transcript_change_events(4, 2)
+    p = str(tmp_path / "src" / "grow.jsonl")
+    write_jsonl(rows, p)
+    import json as _json
+
+    with open(p, "rb") as f:
+        lines = f.read().splitlines(keepends=True)
+    last = lines[-1]
+    cut = len(last) // 2
+    with open(p, "wb") as f:
+        f.write(b"".join(lines[:-1]) + last[:cut])
+    snap_len = os.path.getsize(p)
+
+    # simulate "file grew between listing and read": plan against the torn
+    # snapshot, then complete the line on disk before the read happens
+    from kafka_connect_fs_spark.sources.discovery import FileMeta
+
+    listing = [FileMeta(p, snap_len, 0.0)]
+    work, _ = engine._plan(listing, engine.watermarks.load_dict())
+    with open(p, "ab") as f:
+        f.write(last[cut:])
+
+    lines_df, events, native, parts = engine._read(work)
+    try:
+        texts = [r.value for r in lines_df.filter("_line_no >= 0").collect()]
+        assert len(texts) == len(rows) - 1  # torn record held back entirely
+        assert all(_json.loads(t) for t in texts)  # every emitted line parses
+        from kafka_connect_fs_spark.sources.readers import LINE_NO_RANGE_PARTIAL
+
+        markers = lines_df.filter(f"_line_no = {LINE_NO_RANGE_PARTIAL}").collect()
+        assert len(markers) == 1  # tail pending -> not eof, re-read next trigger
+        assert markers[0]._src_end == snap_len - cut
+    finally:
+        for part in parts:
+            part.unpersist()
+
+    # and end-to-end: the next engine pass picks the completed line up
+    engine.run_once()
+    engine.run_once()
+    assert_matches_oracle(engine, rows)
