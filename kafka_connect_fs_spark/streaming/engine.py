@@ -79,6 +79,13 @@ class IngestConfig:
     fmt: str = "jsonl"  # or "agnostic" for by-extension dispatch
     regexp: str = ".*"
     recursive: bool = True
+    # alternative discovery source (e.g. sources/s3_events.py's
+    # S3EventNotificationsPolicy.poll): when set, it replaces the
+    # list_files() sweep — push-based O(events) discovery instead of
+    # O(objects) listing; uris/regexp/recursive are then the policy's
+    # business. The watermark anti-join downstream makes any
+    # at-least-once discovery source safe.
+    discovery_fn: Callable[[], list] | None = None
     schema: T.StructType | None = None
     reader_options: dict = field(default_factory=dict)
     keys: tuple = ("conv_id", "turn_idx")
@@ -379,7 +386,19 @@ class IngestEngine:
             self._log_metrics(res, recovered.metrics)
             return res
 
-        listing = [f for f in list_files(cfg.uris, cfg.regexp, cfg.recursive) if f.length > 0]
+        raw_listing = (
+            cfg.discovery_fn()
+            if cfg.discovery_fn is not None
+            else list_files(cfg.uris, cfg.regexp, cfg.recursive)
+        )
+        # dedup by path keeping the largest size (an event queue can
+        # announce the same growing object twice in one poll), then
+        # path-sort for deterministic files_per_trigger batching
+        by_path: dict[str, FileMeta] = {}
+        for f in raw_listing:
+            if f.length > 0 and (f.path not in by_path or f.length > by_path[f.path].length):
+                by_path[f.path] = f
+        listing = [by_path[p] for p in sorted(by_path)]
         wm_rows = self.watermarks.load_dict()
         work, finished = self._plan(listing, wm_rows)
         snap = {w.path: w.snap_length for w in work}

@@ -1,0 +1,167 @@
+"""S3 event-notification discovery — fixture tests mirroring the
+reference's mocked-SQS suite (S3EventNotificationsPolicyTest.java):
+direct + SNS-wrapped payloads, event-name regex (full-match), bucket
+filtering, vanished objects, message acknowledgment, and an end-to-end
+engine run discovered purely by events."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_connect_fs_spark.sources.discovery import FileMeta
+from kafka_connect_fs_spark.sources.s3_events import (
+    QueueMessage,
+    S3EventNotificationsPolicy,
+    parse_event_message,
+)
+
+
+def s3_event_body(bucket: str, key: str, event: str = "ObjectCreated:Put") -> str:
+    return json.dumps(
+        {
+            "Records": [
+                {
+                    "eventVersion": "2.1",
+                    "eventSource": "aws:s3",
+                    "eventName": event,
+                    "s3": {
+                        "bucket": {"name": bucket},
+                        "object": {"key": key, "size": 7},
+                    },
+                }
+            ]
+        }
+    )
+
+
+def sns_wrap(inner: str) -> str:
+    return json.dumps({"Type": "Notification", "Message": inner})
+
+
+class FakeQueue:
+    def __init__(self, bodies: list[str]):
+        self.messages = [
+            QueueMessage(f"m{i}", f"rh{i}", b) for i, b in enumerate(bodies)
+        ]
+        self.deleted: list[str] = []
+
+    def receive_messages(self):
+        return [m for m in self.messages if m.receipt_handle not in self.deleted]
+
+    def delete_message(self, receipt_handle):
+        self.deleted.append(receipt_handle)
+
+
+def fake_stat(sizes: dict):
+    return lambda uri: (
+        FileMeta(uri, sizes[uri], 1.0) if uri in sizes else None
+    )
+
+
+def test_parse_direct_and_sns_wrapped_and_garbage():
+    direct = QueueMessage("m1", "r1", s3_event_body("b", "data/a.jsonl"))
+    assert [(r.bucket, r.key, r.event_name) for r in parse_event_message(direct)] == [
+        ("b", "data/a.jsonl", "ObjectCreated:Put")
+    ]
+    wrapped = QueueMessage("m2", "r2", sns_wrap(s3_event_body("b", "k")))
+    assert parse_event_message(wrapped)[0].key == "k"
+    assert parse_event_message(QueueMessage("m3", "r3", "not json {{")) == []
+    assert parse_event_message(QueueMessage("m4", "r4", json.dumps({"x": 1}))) == []
+
+
+def test_event_regex_is_full_match_and_bucket_filtered():
+    q = FakeQueue(
+        [
+            s3_event_body("bucket-a", "keep.jsonl", "ObjectCreated:Put"),
+            s3_event_body("bucket-a", "gone.jsonl", "ObjectRemoved:Delete"),
+            s3_event_body("other-bucket", "foreign.jsonl", "ObjectCreated:Put"),
+            # 'Created' alone must NOT match 'ObjectCreated:.*' (full match,
+            # Java String.matches semantics — not .find())
+            s3_event_body("bucket-a", "partial.jsonl", "Created"),
+        ]
+    )
+    sizes = {
+        "s3://bucket-a/keep.jsonl": 11,
+        "s3://bucket-a/gone.jsonl": 11,
+        "s3://other-bucket/foreign.jsonl": 11,
+        "s3://bucket-a/partial.jsonl": 11,
+    }
+    pol = S3EventNotificationsPolicy(
+        q, "s3://bucket-a/data", event_regex="ObjectCreated:.*", stat_fn=fake_stat(sizes)
+    )
+    got = pol.poll()
+    assert [f.path for f in got] == ["s3://bucket-a/keep.jsonl"]
+    assert got[0].length == 11
+    # every message acknowledged (filtered ones too, or they redeliver forever)
+    assert len(q.deleted) == 4
+    assert pol.poll() == []  # queue drained
+
+
+def test_vanished_object_skipped_but_acknowledged():
+    q = FakeQueue([s3_event_body("b", "vanished.jsonl")])
+    pol = S3EventNotificationsPolicy(q, "s3://b", stat_fn=fake_stat({}))
+    assert pol.poll() == []
+    assert q.deleted == ["rh0"]
+
+
+def test_delete_messages_false_retains():
+    q = FakeQueue([s3_event_body("b", "a.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, "s3://b", delete_messages=False,
+        stat_fn=fake_stat({"s3://b/a.jsonl": 5}),
+    )
+    assert [f.path for f in pol.poll()] == ["s3://b/a.jsonl"]
+    assert q.deleted == []
+    # redelivery: at-least-once queues re-offer; discovery re-lists it
+    assert [f.path for f in pol.poll()] == ["s3://b/a.jsonl"]
+
+
+def test_engine_ingests_from_event_discovery(spark, tmp_path):
+    """E2E: files announced ONLY via events (no directory sweep) flow
+    through the engine; the watermark anti-join absorbs event redelivery."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import (
+        CHANGE_EVENT_SCHEMA,
+        expected_final_state,
+        transcript_change_events,
+        write_jsonl,
+    )
+
+    bucket_dir = tmp_path / "bucket"
+    os.makedirs(bucket_dir)
+    rows = transcript_change_events(4, 3)
+    write_jsonl(rows[: len(rows) // 2], str(bucket_dir / "a.jsonl"))
+    write_jsonl(rows[len(rows) // 2 :], str(bucket_dir / "b.jsonl"))
+
+    bucket = str(bucket_dir)  # local-fs "bucket": file://<dir>
+    q = FakeQueue(
+        [
+            s3_event_body(bucket, "a.jsonl"),
+            sns_wrap(s3_event_body(bucket, "b.jsonl")),
+            s3_event_body(bucket, "a.jsonl"),  # duplicate delivery
+        ]
+    )
+    pol = S3EventNotificationsPolicy(
+        q, f"file://{bucket}", event_regex="ObjectCreated:.*"
+    )
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[],  # discovery is fully event-driven
+            table_root=str(tmp_path / "table"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA,
+            n_buckets=4,
+            discovery_fn=pol,
+        ),
+    )
+    res = engine.run_once()
+    assert res.n_files == 2 and res.n_events == len(rows)
+    exp = {k: v["text"] for k, v in expected_final_state(rows).items()}
+    got = {(r.conv_id, r.turn_idx): r.text for r in engine.lake.read().collect()}
+    assert got == exp
+    # queue drained + second pass is a no-op
+    res2 = engine.run_once()
+    assert res2.n_files == 0 and res2.n_events == 0
