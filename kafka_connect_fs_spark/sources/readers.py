@@ -154,6 +154,7 @@ def read_lines(
     max_split_bytes: int = 128 * 1024 * 1024,
     arrow_batch_rows: int = 10_000,
     with_markers: bool = False,
+    rows_to_skip: int = 0,
 ) -> DataFrame:
     """Distributed byte-range line scan → DataFrame of raw lines + lineage.
 
@@ -184,6 +185,7 @@ def read_lines(
                         encoding,
                         emit_unterminated_final_line,
                         arrow_batch_rows,
+                        rows_to_skip,
                     )
                     # success markers (OK / PARTIAL, with the consumed end
                     # position) are emitted inside _scan_one_range; the
@@ -236,6 +238,7 @@ def _scan_one_range(
     encoding: str,
     emit_final: bool,
     batch_rows: int,
+    rows_to_skip: int = 0,
 ) -> Iterator[pd.DataFrame]:
     """Vectorized range scan: ONE read, ONE bytes.split, numpy cumsum for
     offsets — no per-line Python loop (the reference's readLine() iterator,
@@ -328,7 +331,26 @@ def _scan_one_range(
     # text split boundaries align with the byte split)
     tparts = buf.decode(encoding, errors="replace").split("\n")[: len(parts)]
 
-    for lo in range(0, len(parts), batch_rows):
+    emit_from = 0
+    if rows_to_skip and range_start == 0:
+        # preamble skip (UnivocityFileReader rows_to_skip): the first N
+        # lines of the FILE are consumed (offsets advance past them) but
+        # never emitted. Only the range anchored at byte 0 holds them;
+        # resumed tails start past the already-skipped preamble. (Caveat:
+        # if the very first snapshot of a growing file held fewer than N
+        # lines, the remainder is not re-skipped on the tail — preamble
+        # formats are static files in practice.)
+        emit_from = min(rows_to_skip, len(parts))
+        if emit_from == len(parts):
+            yield _marker_row(
+                path,
+                range_start,
+                int(ends[-1]),
+                LINE_NO_RANGE_PARTIAL if held_back else LINE_NO_RANGE_OK,
+            )
+            return
+
+    for lo in range(emit_from, len(parts), batch_rows):
         hi = min(lo + batch_rows, len(parts))
         vals = pd.Series(tparts[lo:hi], dtype=object).str.rstrip("\r")
         yield pd.DataFrame(
@@ -444,9 +466,23 @@ def parse_csv(
     UnivocityFileReader.java): declared positional schema, optional header
     row (dropped where the file's first line starts at byte 0), null-on-
     cast-failure (``mode=PERMISSIVE`` ≈ ``data_type_mapping_error=false``).
+
+    Option parity with the reference's Univocity settings:
+    - ``comment``: lines whose first char is the comment char are no
+      records (settings.format.comment, UnivocityFileReader.java:53)
+    - ``mode="FAILFAST"`` ≈ ``data_type_mapping_error=true`` (:41,123):
+      malformed rows raise instead of nulling out
+    - quote/escape/nullValue/emptyValue pass straight through to
+      ``from_csv`` (same Univocity engine underneath)
+    - preamble skipping (rows_to_skip, :48) happens upstream in
+      read_lines — combine with header=False + explicit names when a file
+      has both a preamble and a header line.
     """
     opts = {"sep": sep, "mode": "PERMISSIVE"}
     opts.update(options or {})
+    comment = opts.pop("comment", None)
+    if comment:
+        lines = lines.filter(~F.col("value").startswith(comment))
     if header:
         lines = lines.filter(~((F.col("_src_offset") == 0) & (F.col("_line_no") == 0)))
     parsed = lines.withColumn("_rec", F.from_csv(F.col("value"), schema.simpleString(), opts))
@@ -492,6 +528,76 @@ def infer_csv_header(path: str, sep: str = ",", encoding: str = "utf-8") -> list
     data = _read_decompressed(path)
     first = data.split(b"\n", 1)[0].decode(encoding, errors="replace").rstrip("\r")
     return first.split(sep)
+
+
+def detect_delimiter(
+    path: str,
+    candidates: str = ",;\t|",
+    sample_lines: int = 20,
+    encoding: str = "utf-8",
+) -> str:
+    """Sniff the column delimiter from the first lines (the reference's
+    ``delimiter_detection`` setting, CsvFileReader.java:15,30 — Univocity's
+    detection sampled the input the same way). Picks the candidate that
+    splits every sampled line into the same >1 column count; ties go to the
+    most columns. Driver-side, one small read."""
+    data = _read_decompressed(path, limit_compressed=None if _compression_of(path) else 1 << 20)
+    lines = [
+        ln for ln in data.decode(encoding, errors="replace").split("\n")[:sample_lines] if ln
+    ]
+    if not lines:
+        return candidates[0]
+    best, best_cols = candidates[0], 0
+    for cand in candidates:
+        counts = {ln.count(cand) for ln in lines}
+        if len(counts) == 1:
+            n = counts.pop()
+            if n > 0 and n + 1 > best_cols:
+                best, best_cols = cand, n + 1
+    return best
+
+
+def parse_xml_lines(
+    lines: DataFrame, schema: T.StructType, options: dict | None = None
+) -> DataFrame:
+    """XML record-per-line mode (XmlFileReader via JacksonFileReader:35-43,
+    record_per_line — the reference's DEFAULT for XML): each line is one
+    XML document. Python (xmltodict, Arrow-batched) only converts XML text
+    → JSON text; typing stays JVM-side ``from_json`` — same split as the
+    whole-file path. xmltodict yields every scalar as a string, so parse
+    all-strings then cast to the declared schema."""
+    opts = options or {}
+    record_path = opts.get("record_path")
+
+    def to_json(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xmltodict
+
+        for pdf in batches:
+            vals = []
+            for v in pdf["value"]:
+                try:
+                    doc = xmltodict.parse(v)
+                    if record_path:
+                        for k in record_path.split("."):
+                            doc = doc[k]
+                    elif isinstance(doc, dict) and len(doc) == 1:
+                        # drop the root element wrapper (Jackson's XmlMapper
+                        # readTree sees the fields directly, same as the
+                        # whole-file path's record_path unwrapping)
+                        doc = next(iter(doc.values()))
+                    vals.append(json.dumps(doc, default=str))
+                except Exception:
+                    vals.append(None)  # malformed line → quarantined null rec
+            pdf = pdf.copy()
+            pdf["value"] = vals
+            yield pdf
+
+    jsonl = lines.mapInPandas(to_json, LINE_SCHEMA)
+    parsed = jsonl.withColumn("_rec", F.from_json("value", _stringify_schema(schema)))
+    casts = [
+        F.col(f"_rec.{f.name}").cast(f.dataType).alias(f.name) for f in schema.fields
+    ]
+    return parsed.select("_src_file", "_src_offset", "_src_end", "_line_no", *casts)
 
 
 # ------------------------------------------------------- whole-file readers
@@ -695,35 +801,71 @@ def read_binary(spark: SparkSession, items: list[WorkItem]) -> DataFrame:
     )
 
 
+# Writable → Spark type, the reference's getSchema mapping
+# (SequenceFileReader.java:59-78: Byte/Short/Int/Long/Float/Double/Bytes/
+# Boolean/Text Writables → INT8..STRING). PySpark's sequenceFile already
+# deserializes Writables to the matching Python types; this maps the PYTHON
+# type observed in the data back to the typed column.
+_PY_TO_SPARK = {
+    bool: "boolean",  # before int: bool is an int subclass
+    int: "long",
+    float: "double",
+    bytes: "binary",
+    bytearray: "binary",
+    str: "string",
+}
+
+
+def _py_spark_type(value) -> str:
+    for py, st in _PY_TO_SPARK.items():
+        if isinstance(value, py):
+            return st
+    return "string"
+
+
 def read_sequence_file(
     spark: SparkSession,
     items: list[WorkItem],
     key_field: str = "key",
     value_field: str = "value",
+    key_type: str | None = None,
+    value_type: str | None = None,
 ) -> DataFrame:
     """Hadoop SequenceFile key/value scan (SequenceFileReader.java:17-173).
 
     The one RDD-backed source in this engine: Spark has no DataFrame
-    SequenceFile reader, and the format is legacy — kept for parity, with
-    Writable→string coercion like the reference's toSchema mapping
-    (SequenceFileReader.java:59-78). Customizable field names mirror
-    file_reader.sequence.field_name.* options."""
+    SequenceFile reader, and the format is legacy — kept for parity.
+    Writables come out TYPED, like the reference's toSchema mapping
+    (SequenceFileReader.java:59-78): pass ``key_type``/``value_type``
+    Spark type strings, or leave None to infer from the first record (the
+    reference also inspects the Writable instance at read time).
+    Customizable field names mirror file_reader.sequence.field_name.*."""
+    if key_type is None or value_type is None:
+        probe_key, probe_val = None, None
+        for w in items:
+            try:
+                probe_key, probe_val = spark.sparkContext.sequenceFile(w.path).first()
+                break
+            except ValueError:  # empty file: try the next
+                continue
+        key_type = key_type or _py_spark_type(probe_key)
+        value_type = value_type or _py_spark_type(probe_val)
+    ddl = (
+        f"{key_field} {key_type}, {value_field} {value_type}, "
+        "_src_file string, _src_offset long"
+    )
     paths = [w.path for w in items]
     if not paths:
-        return spark.createDataFrame(
-            [], f"{key_field} string, {value_field} string, _src_file string, _src_offset long"
-        )
+        return spark.createDataFrame([], ddl)
     sc = spark.sparkContext
     parts = []
     for p in paths:
-        rdd = sc.sequenceFile(p).map(lambda kv, _p=p: (str(kv[0]), str(kv[1]), _p, 0))
+        rdd = sc.sequenceFile(p).map(lambda kv, _p=p: (kv[0], kv[1], _p, 0))
         parts.append(rdd)
     union = parts[0]
     for r in parts[1:]:
         union = union.union(r)
-    return spark.createDataFrame(
-        union, f"{key_field} string, {value_field} string, _src_file string, _src_offset long"
-    )
+    return spark.createDataFrame(union, ddl)
 
 
 # ------------------------------------------------------------- dispatch

@@ -56,6 +56,7 @@ from kafka_connect_fs_spark.sources.readers import (
     parse_fixed_width,
     parse_jsonl,
     parse_text,
+    parse_xml_lines,
     parse_whole_file_records,
     read_binary,
     read_columnar,
@@ -65,7 +66,7 @@ from kafka_connect_fs_spark.sources.readers import (
 )
 from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
 
-LINE_FORMATS = {"text", "csv", "tsv", "jsonl", "fixedwidth"}
+LINE_FORMATS = {"text", "csv", "tsv", "jsonl", "fixedwidth", "xml_lines"}
 NATIVE_LINE_FORMATS = {"text", "csv", "tsv", "jsonl"}  # JVM fast path (offset-0 files)
 WHOLE_FILE_FORMATS = {"yaml", "xml", "json_whole", "text_whole"}
 COLUMNAR_FORMATS = {"parquet", "avro", "orc"}
@@ -219,9 +220,17 @@ class IngestEngine:
 
     def _fmt_of(self, path: str) -> str:
         cfg = self.config
-        if cfg.fmt != "agnostic":
-            return cfg.fmt
-        return format_for(path, cfg.reader_options.get("format_overrides"))
+        fmt = (
+            format_for(path, cfg.reader_options.get("format_overrides"))
+            if cfg.fmt == "agnostic"
+            else cfg.fmt
+        )
+        if fmt == "xml" and cfg.reader_options.get("record_per_line"):
+            # the reference's XML default is record-per-line
+            # (XmlFileReader.java record_per_line via JacksonFileReader);
+            # whole-file is this engine's default, the option flips it
+            fmt = "xml_lines"
+        return fmt
 
     # --------------------------------------------------------------- reading
     def _read(
@@ -242,7 +251,10 @@ class IngestEngine:
         lines_parts: list[DataFrame] = []
         event_parts: list[DataFrame] = []
         native_paths: set[str] = set()
-        jvm_fast = cfg.reader_options.get("jvm_fast_path", True)
+        rows_to_skip = int(cfg.reader_options.get("rows_to_skip", 0))
+        # preamble skipping needs the offset-aware scanner (Spark's native
+        # csv/json sources cannot skip N leading lines)
+        jvm_fast = cfg.reader_options.get("jvm_fast_path", True) and not rows_to_skip
         for fmt, items in groups.items():
             if fmt in LINE_FORMATS:
                 if jvm_fast and fmt in NATIVE_LINE_FORMATS:
@@ -274,6 +286,7 @@ class IngestEngine:
                     emit_unterminated_final_line=cfg.emit_unterminated_final_line,
                     max_split_bytes=cfg.max_split_bytes,
                     with_markers=True,
+                    rows_to_skip=rows_to_skip,
                 )
                 lines = lines.persist()
                 lines_parts.append(lines)
@@ -349,6 +362,8 @@ class IngestEngine:
                 header=o.get("header", True),
                 options=o.get("csv_options"),
             )
+        if fmt == "xml_lines":
+            return parse_xml_lines(lines, self._require_schema(), o)
         if fmt == "fixedwidth":
             return parse_fixed_width(
                 lines,

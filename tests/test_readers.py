@@ -7,6 +7,7 @@ from __future__ import annotations
 import bz2
 import gzip
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -14,10 +15,12 @@ from pyspark.sql import types as T
 
 from kafka_connect_fs_spark.sources.readers import (
     WorkItem,
+    detect_delimiter,
     format_for,
     infer_csv_header,
     infer_json_schema,
     parse_csv,
+    parse_xml_lines,
     parse_fixed_width,
     parse_jsonl,
     parse_whole_file_records,
@@ -25,6 +28,7 @@ from kafka_connect_fs_spark.sources.readers import (
     read_binary,
     read_columnar,
     read_lines,
+    read_sequence_file,
     read_whole_files,
 )
 
@@ -282,9 +286,32 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     import glob
 
     files = [WorkItem(f, 0, 1) for f in glob.glob(p + "/part-*")]
+    # typed Writables (SequenceFileReader.java:59-78): IntWritable keys come
+    # back as a numeric column, Text values as string — inferred by default
     out = read_sequence_file(spark, files, key_field="k", value_field="v")
+    assert dict(out.dtypes)["k"] == "bigint" and dict(out.dtypes)["v"] == "string"
     rows = {(r.k, r.v) for r in out.collect()}
-    assert rows == {(str(i), f"v{i}") for i in range(20)}
+    assert rows == {(i, f"v{i}") for i in range(20)}
+    # explicit type override still honored
+    out2 = read_sequence_file(
+        spark, files, key_field="k", value_field="v", key_type="string"
+    )
+    assert dict(out2.dtypes)["k"] == "string"
+    assert {r.k for r in out2.collect()} == {str(i) for i in range(20)}
+
+
+def test_sequence_file_double_and_bytes_writables(spark, tmp_path):
+    p = str(tmp_path / "seqd")
+    spark.sparkContext.parallelize(
+        [(float(i) / 2, f"v{i}".encode()) for i in range(5)], 1
+    ).saveAsSequenceFile(p)
+    import glob
+
+    files = [WorkItem(f, 0, 1) for f in glob.glob(p + "/part-*")]
+    out = read_sequence_file(spark, files)
+    assert dict(out.dtypes)["key"] == "double" and dict(out.dtypes)["value"] == "binary"
+    got = {(r.key, bytes(r.value)) for r in out.collect()}
+    assert got == {(float(i) / 2, f"v{i}".encode()) for i in range(5)}
 
 
 def test_text_whole_file_record(spark, tmp_path):
@@ -300,3 +327,158 @@ def test_text_whole_file_record(spark, tmp_path):
     p.write_text("line1\nline2\nline3\n")
     out = read_whole_files(spark, work(str(p))).collect()
     assert len(out) == 1 and bytes(out[0].content).decode() == "line1\nline2\nline3\n"
+
+
+def test_rows_to_skip_preamble(spark, tmp_path):
+    """UnivocityFileReader rows_to_skip (:48): the first N lines are
+    consumed (offsets advance past them) but never emitted — including
+    across byte-range splits, where only the range anchored at byte 0
+    holds the preamble."""
+    p = tmp_path / "pre.csv"
+    write_lines(p, ["PREAMBLE-1", "PREAMBLE-2", "a,b", "1,2", "3,4"])
+    out = read_lines(spark, work(str(p)), rows_to_skip=2).orderBy("_src_offset").collect()
+    assert [r.value for r in out] == ["a,b", "1,2", "3,4"]
+    # consumed offset still covers the skipped preamble bytes
+    marked = read_lines(spark, work(str(p)), rows_to_skip=2, with_markers=True)
+    import os as _os
+
+    assert marked.agg(F.max("_src_end")).first()[0] == _os.path.getsize(p)
+    # skipping more lines than the file has: everything consumed, nothing emitted
+    none = read_lines(spark, work(str(p)), rows_to_skip=99).collect()
+    assert none == []
+
+
+def test_rows_to_skip_through_engine(spark, tmp_path):
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    os.makedirs(tmp_path / "src")
+    write_lines(
+        tmp_path / "src" / "a.csv",
+        ["generated by legacy-exporter v3", "", "conv_id,turn_idx,role,text,ts",
+         "c1,0,user,hi,2024-01-01 00:00:01", "c1,1,asst,yo,2024-01-01 00:00:02"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    eng = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(tmp_path / "src")], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="csv", schema=schema,
+            n_buckets=4,
+            # preamble + header both skipped; names come from the schema
+            reader_options={"rows_to_skip": 3, "header": False},
+        ),
+    )
+    res = eng.run_once()
+    assert res.n_events == 2
+    got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
+    assert got == {("c1", 0): "hi", ("c1", 1): "yo"}
+    assert eng.run_once().n_events == 0  # offsets cover the preamble
+
+
+def test_csv_comment_lines_skipped(spark, tmp_path):
+    """settings.format.comment (UnivocityFileReader.java:53): comment lines
+    are not records."""
+    p = tmp_path / "c.csv"
+    write_lines(p, ["a,b", "1,2", "# a comment, not a record", "3,4"])
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    out = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True, options={"comment": "#"}
+    ).orderBy("_src_offset").collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2), (3, 4)]
+
+
+def test_csv_failfast_mode_raises(spark, tmp_path):
+    """data_type_mapping_error=true (UnivocityFileReader.java:41,123):
+    malformed input fails the read instead of nulling out."""
+    from py4j.protocol import Py4JJavaError
+
+    p = tmp_path / "bad.csv"
+    write_lines(p, ["a,b", "1,2", "xx,3"])
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    df = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True,
+        options={"mode": "FAILFAST"},
+    )
+    with pytest.raises(Py4JJavaError):
+        df.collect()
+
+
+def test_detect_delimiter(tmp_path):
+    """CsvFileReader delimiter_detection (:15,30)."""
+    for sep, name in ((";", "semi.csv"), ("\t", "tabs.csv"), ("|", "pipe.csv")):
+        p = tmp_path / name
+        write_lines(p, [sep.join(["a", "b", "c"]), sep.join(["1", "2", "3"])])
+        assert detect_delimiter(str(p)) == sep
+    # commas inside values don't fool it when counts are inconsistent
+    p = tmp_path / "mixed.csv"
+    write_lines(p, ["a;b;c", "1,5;2;3", "9;8,1;7"])
+    assert detect_delimiter(str(p)) == ";"
+
+
+def test_xml_record_per_line(spark, tmp_path):
+    """XmlFileReader record_per_line (the reference's DEFAULT via
+    JacksonFileReader:35-43): one XML document per line, root unwrapped,
+    typed via the declared schema."""
+    p = tmp_path / "r.xml"
+    write_lines(
+        p,
+        [
+            f"<record><id>{i}</id><name>n{i}</name><score>{i}.5</score></record>"
+            for i in range(10)
+        ],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    out = parse_xml_lines(read_lines(spark, work(str(p))), schema).orderBy("id").collect()
+    assert len(out) == 10
+    assert (out[3].id, out[3].name, out[3].score) == (3, "n3", 3.5)
+
+
+def test_xml_record_per_line_through_engine_tail(spark, tmp_path):
+    """Engine dispatch: fmt='xml' + record_per_line option routes through
+    the offset-aware line scanner, so appended XML lines tail correctly."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    os.makedirs(tmp_path / "src")
+    p = tmp_path / "src" / "t.xml"
+    line = "<r><conv_id>c1</conv_id><turn_idx>{i}</turn_idx><role>u</role><text>t{i}</text><ts>2024-01-01 00:00:0{i}</ts></r>"
+    write_lines(p, [line.format(i=0), line.format(i=1)])
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    eng = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(tmp_path / "src")], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="xml", schema=schema,
+            n_buckets=4, reader_options={"record_per_line": True},
+        ),
+    )
+    assert eng.run_once().n_events == 2
+    write_lines(p, [line.format(i=2)], mode="a")
+    assert eng.run_once().n_events == 1  # only the appended tail
+    got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
+    assert got == {("c1", 0): "t0", ("c1", 1): "t1", ("c1", 2): "t2"}
