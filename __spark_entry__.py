@@ -4,9 +4,8 @@
 transcript change-event files from sf0.001 events → IngestEngine discovery/
 watermarks/vectorized parse → LWW MERGE into the lake table → final state).
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
-training-pipeline ops; ``oracle_sql()`` gives the DuckDB twin for each
-(rows-only entries: embed_knn_lsh, dedup_simhash, multimodal_features —
-custom distributed ops with no faithful single-node SQL equivalent).
+training-pipeline ops; ``oracle_sql()`` gives the DuckDB twin for EVERY
+query (26/26 since r02 — the LSH ANN query gained an integer-exact oracle).
 """
 
 from __future__ import annotations

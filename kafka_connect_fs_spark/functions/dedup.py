@@ -40,7 +40,16 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
 
     SQL twin: UNNEST(generate_series(...)) over string_split — identical
     shingle strings by construction.
+
+    The explode multiplies rows ~|doc|×, so an input with fewer partitions
+    than cores serializes the heaviest stage (a 1-file table scans as ONE
+    task). Widen only in that degenerate case — at real scale the input
+    already has thousands of partitions and this is a no-op (never shuffle
+    full text payloads unless the alternative is idle executors).
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        df = df.repartition(target)
     w = F.split(F.lower(F.col(text_col)), " ")
     # guard short docs: sequence(1, 0) would be DESCENDING [1, 0] in Spark
     idx = F.when(
@@ -142,6 +151,9 @@ def ngram_jaccard_pairs(
     sh = shingles(df, text_col, id_col, k)
     if block_col:
         sh = sh.join(df.select(id_col, block_col), id_col)
+        sh = sh.withColumn(
+            "shingle", F.concat_ws("\x1f", F.col(block_col), F.col("shingle"))
+        ).drop(block_col)
     if max_shingle_df is not None:
         rare = (
             sh.groupBy("shingle")
@@ -149,16 +161,33 @@ def ngram_jaccard_pairs(
             .where(F.col("_df") <= max_shingle_df)
             .select("shingle")
         )
-        # left-semi on the same key as the pair join: partial-agg df count,
-        # then the hot shingles never reach the quadratic join
+        # left-semi on the same key as the posting-list groupBy below:
+        # partial-agg df count, then hot shingles never reach the
+        # quadratic pair generation (and never build giant posting lists)
         sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    join_keys = ["shingle"] + ([block_col] if block_col else [])
-    a = sh.select(F.col(id_col).alias("doc_a"), *join_keys)
-    b = sh.select(F.col(id_col).alias("doc_b"), *join_keys)
+    # posting-list pair generation: ONE shuffle on shingle builds the
+    # sorted doc list (bounded by the df cap), then all (a < b) pairs come
+    # from an array double-transform — no second shuffle of the full
+    # shingle table through a self-join. This is the standard inverted-
+    # index candidate generator; without a df cap, lists are unbounded, so
+    # exact-uncapped corpora should cap or use the MinHash path.
+    postings = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list(F.col(id_col))).alias("ids")
+    )
+    n = F.size("ids")
+    pair_arr = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, n),  # ids after position i → a < b
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, join_keys)
-        .where(F.col("doc_a") < F.col("doc_b"))
+        postings.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -184,6 +213,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     Pure DataFrame ops: explode tokens → per-bit vote via bit ops → sum.
     """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min(target, 16):
+        df = df.repartition(target)  # same degenerate-input widening as shingles()
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
     ).where(F.length("t") > 0)

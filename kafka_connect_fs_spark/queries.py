@@ -150,62 +150,61 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     event JSONL files from `events`, run IngestEngine (discovery →
     watermarks → vectorized parse → LWW MERGE → lake), return the final
     table. Must equal the pure-SQL oracle SQL_TRANSCRIPT_FINAL_STATE."""
+    import atexit
     import shutil
     import tempfile
 
     from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
     from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
 
+    # the lake dir must outlive this function: the returned DataFrame is
+    # LAZY (pulling the final table through the driver with collect() would
+    # be a scale anti-pattern), so cleanup happens at process exit instead
     base = tempfile.mkdtemp(prefix="kcfs_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     src = os.path.join(base, "src")
     os.makedirs(src)
-    try:
-        # distributed file synthesis: range-partition + sort by event_id so
-        # the lexicographic (src_file, src_offset) order equals event_id
-        # order — keeping the engine's LWW tie-break aligned with the
-        # oracle's ORDER BY ts DESC, event_id DESC
-        ev = _transcript_events(t(spark, sf_dir, "events"))
-        jsonl = ev.select(
-            F.lit("upsert").alias("op"),
-            "conv_id",
-            "turn_idx",
-            "role",
-            "text",
-            F.lit(None).cast("string").alias("tool"),
-            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
-            "event_id",
-        )
-        (
-            jsonl.repartitionByRange(4, "event_id")
-            .sortWithinPartitions("event_id")
-            .drop("event_id")
-            .write.mode("overwrite")
-            .json(src)
-        )
-        engine = IngestEngine(
-            spark,
-            IngestConfig(
-                uris=[src],
-                table_root=os.path.join(base, "table"),
-                checkpoint_root=os.path.join(base, "ckpt"),
-                fmt="jsonl",
-                schema=CHANGE_EVENT_SCHEMA,
-                n_buckets=16,
-            ),
-        )
-        engine.run_once()
-        out = engine.lake.read().select(
-            "conv_id",
-            "turn_idx",
-            "role",
-            "text",
-            F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
-        )
-        # materialize before the tmp dir vanishes
-        result = spark.createDataFrame(out.collect(), out.schema)
-        return result
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    # distributed file synthesis: range-partition + sort by event_id so
+    # the lexicographic (src_file, src_offset) order equals event_id
+    # order — keeping the engine's LWW tie-break aligned with the
+    # oracle's ORDER BY ts DESC, event_id DESC
+    ev = _transcript_events(t(spark, sf_dir, "events"))
+    jsonl = ev.select(
+        F.lit("upsert").alias("op"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        "event_id",
+    )
+    (
+        jsonl.repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id")
+        .drop("event_id")
+        .write.mode("overwrite")
+        .json(src)
+    )
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[src],
+            table_root=os.path.join(base, "table"),
+            checkpoint_root=os.path.join(base, "ckpt"),
+            fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA,
+            n_buckets=16,
+        ),
+    )
+    engine.run_once()
+    return engine.lake.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
 
 
 # --------------------------------------------------------------------------
