@@ -572,3 +572,31 @@ def test_torn_line_at_snapshot_boundary_held_back(spark, tmp_path):
     engine.run_once()
     engine.run_once()
     assert_matches_oracle(engine, rows)
+
+
+def test_mor_steady_state_file_count_bounded_by_compaction(spark, tmp_path):
+    """MoR read amplification control: under compact_every, live file
+    count stays bounded however many batches stream in (each batch appends
+    a delta set; compaction folds them to one resolved file per bucket)."""
+    engine = make_engine(
+        spark, tmp_path, n_buckets=4, compact_every=3,
+        compact_min_files_per_bucket=2,
+    )
+    assert engine.lake.merge_mode == "mor"
+    rows = transcript_change_events(8, 2, n_versions=3)
+    per = max(1, len(rows) // 9)
+    counts = []
+    for i in range(9):
+        # last chunk takes the remainder so the oracle sees every row
+        chunk = rows[i * per :] if i == 8 else rows[i * per : (i + 1) * per]
+        if not chunk:
+            break
+        write_jsonl(chunk, str(tmp_path / "src" / f"f{i}.jsonl"))
+        engine.run_once()
+        live, _, _ = engine.lake._state()
+        counts.append(len(live))
+    # bounded: never exceeds buckets × (compact_every + 1) despite 9 batches
+    assert max(counts) <= 4 * 4, counts
+    # post-compaction floors back to ≤ one file per bucket
+    assert min(counts[3:]) <= 4, counts
+    assert_matches_oracle(engine, rows)

@@ -50,3 +50,38 @@ def test_dedup_exact_partial_aggregates(spark):
     plan = plan_of(QUERIES["dedup_exact"](spark, SF_DIR))
     assert "partial_count" in plan or "HashAggregate" in plan
     assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_ngram_jaccard_has_no_self_join_of_shingles(spark):
+    """Posting-list candidate generation: ONE aggregation on shingle, pairs
+    from an array transform — the plan must not contain a shingle-keyed
+    join between two full shingle scans (the r01 self-join whose hot-key
+    fanout was the scale risk). The only joins left are the small
+    size-lookup joins on doc ids."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "collect_list" in plan  # posting lists
+    # pair space never materializes via join-on-shingle:
+    for line in plan.splitlines():
+        if "Join" in line and "shingle" in line:
+            assert "LeftSemi" in line, line  # only the df-cap semi-join
+
+
+def test_mor_read_resolves_with_partial_aggregation(spark, tmp_path):
+    """MoR read-time LWW must partial-aggregate map-side (hot conv_ids
+    reduce before the shuffle) and stay Python-free."""
+    import datetime as dt
+
+    from kafka_connect_fs_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), keys=["conv_id", "turn_idx"], ts_col="ts",
+        n_buckets=4, merge_mode="mor",
+    )
+    S = "conv_id string, turn_idx int, text string, ts timestamp"
+    t.merge(spark.createDataFrame([("c1", 0, "a", dt.datetime(2024, 1, 1))], S), "b1")
+    t.merge(spark.createDataFrame([("c1", 0, "b", dt.datetime(2024, 1, 2))], S), "b2")
+    plan = plan_of(t.read())
+    assert "partial_max_by" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.index("partial_max_by") > plan.index("Exchange")  # below the shuffle

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -35,8 +36,9 @@ event_st = st.fixed_dictionaries(
 )
 
 
+@pytest.mark.parametrize("merge_mode", ["mor", "cow"])
 @settings(
-    max_examples=10,
+    max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
@@ -44,7 +46,9 @@ event_st = st.fixed_dictionaries(
     rows=st.lists(event_st, min_size=1, max_size=30),
     split=st.integers(0, 29),
 )
-def test_any_replay_matches_sequential_oracle(spark, tmp_path_factory, rows, split):
+def test_any_replay_matches_sequential_oracle(
+    spark, tmp_path_factory, merge_mode, rows, split
+):
     tmp = tmp_path_factory.mktemp("prop")
     os.makedirs(tmp / "src")
     cut = min(split, len(rows))
@@ -58,6 +62,7 @@ def test_any_replay_matches_sequential_oracle(spark, tmp_path_factory, rows, spl
             fmt="jsonl",
             schema=CHANGE_EVENT_SCHEMA,
             n_buckets=2,
+            merge_mode=merge_mode,
         ),
     )
     if a:
