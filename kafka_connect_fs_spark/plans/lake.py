@@ -66,8 +66,11 @@ class ConcurrentCommitError(RuntimeError):
 
 def _iso(ts) -> str:
     """Timestamp → ISO string comparable with stored file stats (isoformat
-    strings of equal precision compare correctly as strings)."""
-    return ts if isinstance(ts, str) else ts.isoformat()
+    strings of equal precision compare correctly as strings; a space
+    separator would sort after 'T', so normalize it)."""
+    if isinstance(ts, str):
+        return ts.replace(" ", "T", 1)
+    return ts.isoformat()
 
 
 @dataclass

@@ -207,6 +207,101 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool):
+    """Two-batch MoR lake from transcript events, split at Jan 16 (mid-span
+    of the generated month): batch 1 = earlier half, batch 2 = later half
+    (optionally carrying an extra `quality` column — schema evolution).
+    ``_src_offset`` carries event_id so the lake's LWW tie-break equals the
+    oracle's ORDER BY ts DESC, event_id DESC."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.plans.lake import LakeTable
+
+    base = tempfile.mkdtemp(prefix="kcfs_lake_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    lake = LakeTable.create(
+        spark, os.path.join(base, "t"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=8, merge_mode="mor",
+    )
+    ev = _transcript_events(t(spark, sf_dir, "events"))
+    src = ev.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("").alias("_src_file"),
+        F.col("event_id").alias("_src_offset"),
+        "event_id",
+    )
+    cut = LAKE_CUT_TS
+    early = src.where(F.col("ts") < cut).drop("event_id")
+    late = src.where(F.col("ts") >= cut)
+    if with_quality:
+        late = late.withColumn(
+            "quality", (F.col("event_id") % 100).cast("int")
+        )
+    lake.merge(early, "b1")
+    lake.merge(late.drop("event_id"), "b2")
+    return lake
+
+
+LAKE_CUT_TS = __import__("datetime").datetime(2024, 1, 16)
+
+
+def q_lake_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal manifest-stat pruning end-to-end: a MoR lake written in two
+    event-time batches, then read_range over the later window. The commit
+    log's per-file [ts_min, ts_max] footer stats must actually PRUNE the
+    early-batch files (asserted — this query fails if pruning degrades to
+    read-everything), and the resolved in-window state must match SQL."""
+    lake = _build_split_lake(spark, sf_dir, with_quality=False)
+    pruned = lake.files_in_range(ts_from=LAKE_CUT_TS)
+    live, _, _ = lake._state()
+    assert 0 < len(pruned) < len(live), (len(pruned), len(live))
+    return lake.read_range(ts_from=LAKE_CUT_TS).select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_LAKE_READ_RANGE = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00')
+SELECT conv_id, turn_idx, role, text,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-add schema evolution through MERGE: batch 2 carries a new
+    `quality` column; the evolved table serves old rows with NULL and new
+    rows with the value, LWW-resolved across both generations."""
+    lake = _build_split_lake(spark, sf_dir, with_quality=True)
+    assert "quality" in [f.name for f in lake.current_schema().fields]
+    return lake.read().select(
+        "conv_id", "turn_idx", "text", "quality",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_LAKE_SCHEMA_EVOLUTION = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id, turn_idx, text,
+       CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+            THEN CAST(event_id % 100 AS INTEGER) ELSE NULL END AS quality,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (joins/aggs/windows — Catalyst-native, bench anchors)
 # --------------------------------------------------------------------------
@@ -810,6 +905,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_changes_topk": q_cdc_changes_topk,
     "transcript_final_state": q_transcript_final_state,
     "ingest_e2e_final_state": q_ingest_e2e_final_state,
+    "lake_read_range": q_lake_read_range,
+    "lake_schema_evolution": q_lake_schema_evolution,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "region_revenue_rollup": q_region_revenue_rollup,
@@ -839,6 +936,8 @@ ORACLES: dict[str, str] = {
     "cdc_changes_topk": SQL_CDC_CHANGES_TOPK,
     "transcript_final_state": SQL_TRANSCRIPT_FINAL_STATE,
     "ingest_e2e_final_state": SQL_TRANSCRIPT_FINAL_STATE,
+    "lake_read_range": SQL_LAKE_READ_RANGE,
+    "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
     "q1_pricing_summary": SQL_Q1,
     "q3_top_revenue": SQL_Q3,
     "region_revenue_rollup": SQL_REGION_ROLLUP,
