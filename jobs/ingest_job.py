@@ -39,6 +39,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bytes-per-trigger", type=int, default=0)
     p.add_argument("--cleanup", default="none", choices=["none", "move", "delete"])
     p.add_argument("--cleanup-move-dir")
+    p.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    p.add_argument("--compact-every", type=int, default=20,
+                   help="fold MoR deltas every N batches (0 = never)")
+    p.add_argument("--compact-min-files", type=int, default=4)
     p.add_argument("--policy", default="simple", choices=["simple", "sleepy", "cron", "watcher"])
     p.add_argument("--sleep", type=float, default=10.0)
     p.add_argument("--cron")
@@ -79,6 +83,9 @@ def main(argv: list[str] | None = None) -> int:
             bytes_per_trigger=args.bytes_per_trigger,
             cleanup=args.cleanup,
             cleanup_move_dir=args.cleanup_move_dir,
+            merge_mode=args.merge_mode,
+            compact_every=args.compact_every,
+            compact_min_files_per_bucket=args.compact_min_files,
         ),
     )
     policy = {
