@@ -24,6 +24,8 @@ import sys
 import tempfile
 import time
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
+
 
 def _ingest_throughput(spark, sf_dir: str, n_files: int = 64, multiplier: int = 10) -> dict:
     """Full-engine ingest of transcript change events synthesized from the
@@ -101,9 +103,35 @@ def _ingest_throughput(spark, sf_dir: str, n_files: int = 64, multiplier: int = 
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _warm_session(spark) -> None:
+    """Untimed session warm-up: first-job JVM codegen compilation and
+    Python/Arrow worker spawn are one-time process costs, not per-query
+    plan costs — the sweep measures the latter (BENCH.md documents all
+    timings as warm). Warms the operator families the sweep uses without
+    running any sweep query itself."""
+    from pyspark.sql import functions as F
+
+    spark.range(2_000_000).select(F.sum(F.xxhash64("id"))).collect()
+    (
+        spark.range(100_000)
+        .select((F.col("id") % 97).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.max_by("v", F.struct("v")), F.count(F.lit(1)))
+        .collect()
+    )
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).select(_noop("id")).collect()  # spawn Arrow workers
+
+
 def _run_queries(spark, sf_dir: str) -> dict:
     from kafka_connect_fs_spark.queries import QUERIES
 
+    _warm_session(spark)
     timings = {}
     for name, fn in QUERIES.items():
         t0 = time.monotonic()

@@ -600,3 +600,15 @@ def test_mor_steady_state_file_count_bounded_by_compaction(spark, tmp_path):
     # post-compaction floors back to ≤ one file per bucket
     assert min(counts[3:]) <= 4, counts
     assert_matches_oracle(engine, rows)
+
+
+def test_hot_key_skew_ingest_is_exact(spark, tmp_path):
+    """North-rule skew clause: 40% of all events concentrated on one
+    conv_id must still produce the exact LWW state (map-side partial
+    aggregation absorbs the hot key; no reducer sees its raw volume)."""
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(10, 3, n_versions=2, zipf_hot_fraction=0.4)
+    write_jsonl(rows, str(tmp_path / "src" / "hot.jsonl"))
+    res = engine.run_once()
+    assert res.n_events == len(rows)
+    assert_matches_oracle(engine, rows)
