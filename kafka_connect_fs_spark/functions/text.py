@@ -90,3 +90,31 @@ def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5(lower + whitespace-collapsed).
     Matching SQL: md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
     return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
+# (the GPT-2 pre-tokenizer's shape minus lookarounds, so Java regex and
+# RE2 agree). Whitespace is never a token.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Subword-style token count via the BPE-ish pre-tokenizer regex —
+    the length estimator a training pipeline budgets context windows with
+    (whitespace counting under-counts punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def rolling_fingerprint(text: Column, window: int = 16) -> Column:
+    """Content-defined rolling fingerprint: hash every ``window``-char
+    slice and keep the lexicographic MIN (a 1-fingerprint winnowing sketch
+    — Schleimer et al.'s MOSS scheme with one band). Robust to appends and
+    small edits outside the minimizing window, unlike whole-document md5;
+    the per-doc work is O(len) JVM-side md5s inside one transform, no
+    shuffle until the final projection."""
+    n = F.length(text)
+    idx = F.when(n >= window, F.sequence(F.lit(1), n - (window - 1))).otherwise(
+        F.array(F.lit(1))
+    )
+    hashes = F.transform(idx, lambda i: F.md5(text.substr(i, F.lit(window))))
+    return F.array_min(hashes)

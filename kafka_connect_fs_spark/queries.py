@@ -596,6 +596,41 @@ FROM documents
 """
 
 
+def q_text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style length estimation (BPE-ish pre-tokenizer regex):
+    whitespace counting under-counts punctuation-dense text; context-window
+    budgeting needs this count."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS_BPE = r"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing-style) fingerprint: min md5 over every
+    16-char window — robust to appends/small edits, unlike whole-doc md5."""
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", TX.rolling_fingerprint(F.col("text")).alias("roll_fp"))
+
+
+SQL_DOC_FINGERPRINT_ROLLING = """
+SELECT doc_id,
+       (SELECT min(md5(substr(text, CAST(u.i AS INTEGER), 16)))
+        FROM UNNEST(generate_series(1, greatest(len(text) - 15, 1))) AS u(i)) AS roll_fp
+FROM documents
+"""
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.quality_score(t(spark, sf_dir, "documents")).select(
         "doc_id", "n_tokens", "distinct_ratio_bp", "mean_token_len_bp", "quality_bp", "keep"
@@ -919,6 +954,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_token_stats": q_text_token_stats,
+    "text_token_stats_bpe": q_text_token_stats_bpe,
+    "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
     "doc_fingerprint": q_doc_fingerprint,
@@ -950,6 +987,8 @@ ORACLES: dict[str, str] = {
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_token_stats_bpe": SQL_TEXT_TOKEN_STATS_BPE,
+    "doc_fingerprint_rolling": SQL_DOC_FINGERPRINT_ROLLING,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
