@@ -462,10 +462,19 @@ class IngestEngine:
                 and not native_paths
                 and fmts <= {"jsonl", "text"}
             )
+            obs = None
             if fast_count:
                 n_events = sum(r["cnt"] for r in line_stats)
             else:
-                n_events = events.count()
+                # NEVER a separate count() job: on the native path that
+                # would re-scan and re-parse every file once more before
+                # the merge scans them again. Observed metrics ride the
+                # merge write's own action for free.
+                from pyspark.sql import Observation
+
+                obs = Observation()
+                events = events.observe(obs, F.count(F.lit(1)).alias("n"))
+                n_events = -1  # filled from obs after the merge action runs
             # error tolerance: unparseable records (null keys/ts after the
             # typed parse) are quarantined, not fatal — the reference warns
             # and continues on bad files (FsSourceTask.java:101-105)
@@ -549,6 +558,10 @@ class IngestEngine:
                 batch_id=batch_id,
                 app_metadata={"watermarks": wm_updates, "cleanup": finished},
             )
+            if obs is not None:
+                # the merge's write action has run, so the metric is ready
+                # (no blocking wait, no extra job)
+                n_events = int(obs.get["n"])
         finally:
             for p in lines_parts:
                 p.unpersist()
