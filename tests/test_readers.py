@@ -482,3 +482,21 @@ def test_xml_record_per_line_through_engine_tail(spark, tmp_path):
     assert eng.run_once().n_events == 1  # only the appended tail
     got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
     assert got == {("c1", 0): "t0", ("c1", 1): "t1", ("c1", 2): "t2"}
+
+
+def test_csv_null_and_empty_value_tokens(spark, tmp_path):
+    """nullValue / emptyValue passthrough (UnivocityFileReader null/empty
+    token settings): a designated token parses as NULL, quoted-empty as
+    the empty value."""
+    p = tmp_path / "nv.csv"
+    write_lines(p, ["a,b", "NA,x", "1,NA", '2,""'])
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.StringType())]
+    )
+    out = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True,
+        options={"nullValue": "NA", "emptyValue": "EMPTY"},
+    ).orderBy("_src_offset").collect()
+    assert out[0].a is None and out[0].b == "x"
+    assert out[1].a == 1 and out[1].b is None
+    assert out[2].a == 2 and out[2].b == "EMPTY"
