@@ -139,6 +139,100 @@ def _lsh_buckets_pandas(df: DataFrame, vec_col: str, n_tables: int, n_planes: in
     return df.withColumn("_buckets", buckets(F.col(vec_col)))
 
 
+def _exact_rerank(
+    cand_ids: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str,
+    n_id: str,
+    vec_q: str,
+    vec_n: str,
+) -> DataFrame:
+    """Shared tail of every ANN variant: re-join vectors onto the candidate
+    id pairs (query side broadcast — ANN query sets are small), exact
+    cosine, deterministic top-k on the ROUNDED score."""
+    cand = cand_ids.join(corpus, n_id).join(F.broadcast(queries), q_id)
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
+    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(q_id, n_id, "cos_sim", "rank")
+    )
+
+
+def _quantize_np(V):
+    import numpy as np
+
+    return np.floor(np.asarray(V, dtype=np.float64) * QUANT).astype(np.int64)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    q_id: str = "q_id",
+    n_id: str = "n_id",
+    vec_q: str = "qv",
+    vec_n: str = "nv",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    centroid once (the inverted lists); each query probes its ``n_probe``
+    nearest lists and re-ranks exactly inside them. Cost per query is
+    O(corpus/n_centroids × n_probe) instead of O(corpus).
+
+    Engine-exact like lsh_topk: centroids are a deterministic SELECTION
+    (the n_centroids lowest-id corpus vectors — k-means|| init without the
+    iterations; callers with offline-trained centroids pass refined ones
+    by prepending them), unit-normalized and quantized so every
+    assignment score is pure int64 arithmetic — the DuckDB oracle
+    reproduces the inverted lists bit-for-bit. All arithmetic stages
+    (int squares → exact double sum → correctly-rounded sqrt/div → floor)
+    are IEEE-identical across engines.
+
+    Scale shape: the centroid matrix (n_centroids × dim ints) broadcasts
+    inside the Arrow UDF closure; corpus assignment is one numpy matmul
+    per batch, one shuffle on centroid id joins lists to probes.
+    """
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(n_id, vec_n).orderBy(n_id).limit(n_centroids).collect()
+    )
+    ids = [r[0] for r in cent_rows]
+    Q = _quantize_np([list(r[1]) for r in cent_rows])  # [K, dim] int64
+    S = (Q.astype(object) ** 2).sum(axis=1)  # exact int sums of squares
+    norms = np.sqrt(np.array([float(s) for s in S]))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        C = np.floor(Q.astype(np.float64) * QUANT / norms[:, None])
+    C = np.nan_to_num(C, nan=0.0, posinf=0.0, neginf=0.0).astype(np.int64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def probe(v: pd.Series) -> pd.Series:
+        Vq = _quantize_np([np.asarray(x) for x in v])
+        scores = Vq @ C.T  # [n, K] int64 — sign/ties engine-exact
+        order = np.argsort(-scores, axis=1, kind="stable")  # ties → lowest ordinal
+        top = order[:, :n_probe]
+        id_arr = np.asarray(ids, dtype=np.int64)
+        return pd.Series([id_arr[row].tolist() for row in top])
+
+    assigned = corpus.withColumn("_cid", probe(F.col(vec_n))[0])
+    probed = queries.withColumn("_cid", F.explode(probe(F.col(vec_q))))
+    cand_ids = (
+        probed.select(q_id, "_cid")
+        .join(assigned.select(n_id, "_cid"), "_cid")
+        .where(F.col(q_id) != F.col(n_id))
+        .select(q_id, n_id)
+        .distinct()
+    )
+    return _exact_rerank(cand_ids, queries, corpus, k, q_id, n_id, vec_q, vec_n)
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -179,11 +273,4 @@ def lsh_topk(
         .select(q_id, n_id)
         .distinct()
     )
-    cand = cand_ids.join(corpus, n_id).join(F.broadcast(queries), q_id)
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
-    w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(q_id, n_id, "cos_sim", "rank")
-    )
+    return _exact_rerank(cand_ids, queries, corpus, k, q_id, n_id, vec_q, vec_n)

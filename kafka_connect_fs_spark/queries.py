@@ -888,6 +888,73 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: inverted lists under deterministic quantized centroids,
+    n_probe-list search, exact re-rank — the second scale path next to
+    LSH, with the same engine-exact bucketing so DuckDB reproduces the
+    inverted lists (not just the final scores) bit-for-bit."""
+    e = t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    return S.ivf_topk(q, c, k=5, n_centroids=16, n_probe=4)
+
+
+SQL_EMBED_KNN_IVF = """
+WITH cexp AS (
+  SELECT vec_id AS cid, u.i AS i,
+         CAST(floor(embedding[u.i]::DOUBLE * 1000000) AS BIGINT) AS qj
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+  WHERE vec_id < 16),
+cnorm AS (SELECT cid, sqrt(CAST(sum(qj * qj) AS DOUBLE)) AS nrm FROM cexp GROUP BY cid),
+cvals AS (
+  SELECT c.cid, c.i,
+         CASE WHEN n.nrm > 0
+              THEN CAST(floor(CAST(c.qj AS DOUBLE) * 1000000 / n.nrm) AS BIGINT)
+              ELSE 0 END AS val
+  FROM cexp c JOIN cnorm n USING (cid)),
+vexp AS (
+  SELECT vec_id, u.i AS i, embedding[u.i]::DOUBLE AS xv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+vq AS (SELECT vec_id, i, CAST(floor(xv * 1000000) AS BIGINT) AS qv FROM vexp),
+scores AS (
+  SELECT v.vec_id, c.cid, sum(v.qv * c.val) AS s
+  FROM vq v JOIN cvals c USING (i)
+  GROUP BY v.vec_id, c.cid),
+corpus_assign AS (
+  SELECT vec_id AS n_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores) WHERE rn = 1),
+query_probe AS (
+  SELECT vec_id AS q_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM scores WHERE vec_id < 10) WHERE rn <= 4),
+cand AS (
+  SELECT DISTINCT qp.q_id, ca.n_id
+  FROM query_probe qp JOIN corpus_assign ca USING (cid)
+  WHERE qp.q_id <> ca.n_id),
+dots AS (
+  SELECT c.q_id, c.n_id,
+         sum(a.xv * b.xv) AS dot,
+         sqrt(sum(a.xv * a.xv)) AS na,
+         sqrt(sum(b.xv * b.xv)) AS nb
+  FROM cand c
+  JOIN vexp a ON a.vec_id = c.q_id
+  JOIN vexp b ON b.vec_id = c.n_id AND b.i = a.i
+  GROUP BY c.q_id, c.n_id),
+ranked AS (
+  SELECT q_id, n_id, round(dot / (na * nb), 4) AS cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY round(dot / (na * nb), 4) DESC, n_id) AS rank
+  FROM dots)
+SELECT q_id, n_id, cos_sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.simhash64(t(spark, sf_dir, "documents"))
 
@@ -964,6 +1031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "dedup_embedding_near": q_dedup_embedding_near,
     "embed_knn_lsh": q_embed_knn_lsh,
+    "embed_knn_ivf": q_embed_knn_ivf,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
 }
@@ -1003,4 +1071,5 @@ ORACLES: dict[str, str] = {
     # is engine-independent; recall quality is separately gated by the
     # recall-vs-exact test in tests/test_functions.py
     "embed_knn_lsh": SQL_EMBED_KNN_LSH,
+    "embed_knn_ivf": SQL_EMBED_KNN_IVF,
 }

@@ -157,3 +157,17 @@ def test_ngram_jaccard_hot_shingle_cap_bounds_candidates(spark):
     b = sh_f.selectExpr("doc_id doc_b", "shingle")
     n_cand = a.join(b, "shingle").where("doc_a < doc_b").count()
     assert n_cand < 2 * n  # vs ~1830 uncapped from the hot shingle alone
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF ANN quality gate: recall@5 vs brute force; probing more lists
+    must not lower recall."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("nv"))
+    exact = {(r.q_id, r.n_id) for r in S.cosine_topk(q, c, k=5).collect()}
+    approx = {(r.q_id, r.n_id) for r in S.ivf_topk(q, c, k=5, n_centroids=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 8 selected centroids, half probed
+    all_probe = {(r.q_id, r.n_id) for r in S.ivf_topk(q, c, k=5, n_centroids=8, n_probe=8).collect()}
+    assert all_probe == exact  # probing every list degenerates to exact
