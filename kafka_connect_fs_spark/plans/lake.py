@@ -225,23 +225,27 @@ class LakeTable:
 
     def _latest_ckpt(self, max_version: int) -> _State | None:
         d = os.path.join(self.root, _LOG_DIR)
-        best = -1
-        for n in os.listdir(d):
-            m = re.fullmatch(r"(\d{20})\.ckpt\.json", n)
-            if m and int(m.group(1)) <= max_version:
-                best = max(best, int(m.group(1)))
-        if best < 0:
-            return None
-        try:
-            with open(self._ckpt_path(best)) as f:
-                raw = json.load(f)
-        except (OSError, json.JSONDecodeError):
-            return None  # torn/missing checkpoint → full replay fallback
-        return _State(
-            version=raw["version"], live=raw["live"],
-            schema_json=raw["schema_json"], renames=raw["renames"],
-            batch_ids=raw["batch_ids"],
+        cands = sorted(
+            (
+                int(m.group(1))
+                for n in os.listdir(d)
+                if (m := re.fullmatch(r"(\d{20})\.ckpt\.json", n))
+                and int(m.group(1)) <= max_version
+            ),
+            reverse=True,
         )
+        for v in cands:
+            try:
+                with open(self._ckpt_path(v)) as f:
+                    raw = json.load(f)
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue  # torn checkpoint → try the previous one
+            return _State(
+                version=raw["version"], live=raw["live"],
+                schema_json=raw["schema_json"], renames=raw["renames"],
+                batch_ids=raw["batch_ids"],
+            )
+        return None  # no usable checkpoint → full log replay
 
     def _state_full(self, at_version: int | None = None) -> _State:
         """Replayed state with O(suffix) log reads: start from the
@@ -312,6 +316,18 @@ class LakeTable:
                 f,
             )
         os.replace(tmp, path)
+        # retention: keep the newest two checkpoints (the previous one is
+        # the fallback if this write turns out torn after a crash); older
+        # ones only duplicate state that the suffix replay reconstructs
+        d = os.path.join(self.root, _LOG_DIR)
+        ckpts = sorted(
+            n for n in os.listdir(d) if re.fullmatch(r"\d{20}\.ckpt\.json", n)
+        )
+        for n in ckpts[:-2]:
+            try:
+                os.unlink(os.path.join(d, n))
+            except OSError:
+                pass
 
     # ----------------------------------------------------------------- read
     def _bucket_expr(self, col: str) -> F.Column:

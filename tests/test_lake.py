@@ -426,3 +426,39 @@ def test_read_range_prunes_files_by_ts_stats(spark, mor_table):
     assert rows == {"c3", "c4"}
     rows0 = {r.conv_id for r in t.read_range(ts_to=ts(86000)).collect()}
     assert rows0 == {"c1", "c2"}
+
+
+def test_torn_checkpoint_falls_back_to_replay(spark, tmp_path):
+    """A corrupt (torn) state checkpoint is ignored — replay falls back to
+    the previous checkpoint or the raw log, never to wrong state — and
+    checkpoint retention keeps only the newest two files."""
+    import glob
+    import json as _json
+
+    from kafka_connect_fs_spark.plans.lake import Commit
+
+    root = str(tmp_path / "tc")
+    t = LakeTable.create(spark, root, keys=["k"], ts_col="ts", n_buckets=4)
+    for v in range(120):
+        t._write_commit(
+            Commit(version=v, batch_id=f"b{v}",
+                   added=[{"path": f"f{v}.parquet", "bucket": 0, "rows": 1}],
+                   removed=[], schema_json=None)
+        )
+        t._state_full()
+    ckpts = sorted(glob.glob(f"{root}/_log/*.ckpt.json"))
+    assert len(ckpts) == 2  # retention: newest two only
+    # tear the newest checkpoint
+    with open(ckpts[-1], "w") as f:
+        f.write('{"version": 100, "liv')  # truncated mid-key
+    fresh = LakeTable(spark, root)
+    st = fresh._state_full()
+    assert st.version == 119 and len(st.live) == 120
+    assert st.batch_ids["b7"] == 7
+    # tear BOTH → full log replay still exact
+    for c in ckpts:
+        with open(c, "w") as f:
+            f.write("garbage")
+    fresh2 = LakeTable(spark, root)
+    st2 = fresh2._state_full()
+    assert st2.version == 119 and len(st2.live) == 120

@@ -500,3 +500,45 @@ def test_csv_null_and_empty_value_tokens(spark, tmp_path):
     assert out[0].a is None and out[0].b == "x"
     assert out[1].a == 1 and out[1].b is None
     assert out[2].a == 2 and out[2].b == "EMPTY"
+
+
+def test_csv_max_columns_is_a_hard_guard(spark, tmp_path):
+    """Univocity max_columns is a hard resource guard, not a malformed-row
+    policy: exceeding it fails the parse even in PERMISSIVE mode (same
+    underlying Univocity engine and semantics as the reference); rows
+    within the limit parse fine."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    p = tmp_path / "wide.csv"
+    write_lines(p, ["a,b", "1,2", "1,2," + ",".join(str(i) for i in range(30))])
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    df = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True,
+        options={"maxColumns": "10"},
+    )
+    with pytest.raises((Py4JJavaError, PySparkException)):
+        df.collect()
+    ok = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True,
+        options={"maxColumns": "64"},
+    ).orderBy("_src_offset").collect()
+    assert (ok[0].a, ok[0].b) == (1, 2)
+
+
+def test_crlf_line_endings(spark, tmp_path):
+    """Windows line endings: \\r is stripped from values, byte offsets stay
+    exact (the \\r\\n is consumed)."""
+    p = tmp_path / "crlf.csv"
+    with open(p, "wb") as f:
+        f.write(b"a,b\r\n1,2\r\n3,4\r\n")
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    rows = read_lines(spark, work(str(p))).orderBy("_src_offset").collect()
+    assert [r.value for r in rows] == ["a,b", "1,2", "3,4"]
+    assert rows[-1]._src_end == 15  # full file consumed incl. CRLFs
+    out = parse_csv(read_lines(spark, work(str(p))), schema, header=True).collect()
+    assert sorted((r.a, r.b) for r in out) == [(1, 2), (3, 4)]
