@@ -103,6 +103,97 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("content", T.BinaryType(), True),  # re-encoded bytes
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_resize(content: bytes, max_px: int) -> tuple[bytes, int, int]:
+    """Deterministic resize stand-in: source dims from the content md5
+    (same derivation as _fake_decode), aspect-preserving integer downscale,
+    re-encoded bytes derived from (md5, dims) so every output value is
+    oracle-reproducible. A deployment swaps a PIL thumbnail in here."""
+    h = hashlib.md5(content)
+    d = h.digest()
+    w, hh = 64 + d[0] % 192, 64 + d[1] % 192
+    if w > max_px:
+        hh = hh * max_px // w
+        w = max_px
+    if hh > max_px:
+        w = w * max_px // hh
+        hh = max_px
+    return f"{h.hexdigest()}:{w}x{hh}".encode(), w, hh
+
+
+def resize_media(media: DataFrame, max_px: int = 128) -> DataFrame:
+    """Image resize plumbing: binary in → binary out, executor-side only
+    (mapInPandas — payloads never visit the driver), dims in the row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                resized, w, hh = _fake_resize(content, max_px)
+                out.append((int(r.media_id), r.kind, resized, w, hh))
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_ts_ms", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 5000, max_frames: int = 16
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to
+    ``min(duration/every_ms, max_frames)`` frame rows — the batch shape a
+    real av-based sampler produces. Duration comes from the (stubbed)
+    decode; frame bytes are md5-derived so the fan-out is oracle-checkable.
+    Frames of one video stay in one task's Arrow batches (no shuffle until
+    a downstream op asks for one)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "video":
+                    continue
+                content = bytes(r.content) if r.content is not None else b""
+                decoded = DECODERS[r.kind](r.kind, content)
+                dur = decoded["duration_ms"] or 0
+                n = min(dur // every_ms, max_frames)
+                md5 = hashlib.md5(content).hexdigest()
+                for i in range(n):
+                    out.append(
+                        (
+                            int(r.media_id),
+                            i,
+                            i * every_ms,
+                            f"{md5}:frame:{i}".encode(),
+                        )
+                    )
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame, kind: str = "image") -> DataFrame:
     """Test/bench helper: wrap document text bytes as fake media blobs."""
     return docs.select(

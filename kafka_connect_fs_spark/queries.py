@@ -999,6 +999,65 @@ FROM documents
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing E2E: binary → mapInPandas resize (stubbed codec,
+    md5-derived output) → dims + re-encoded-content hash, all
+    oracle-reproducible."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"))
+    out = M.resize_media(media, max_px=128)
+    return out.select(
+        "media_id", "width", "height", F.md5("content").alias("resized_md5")
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+WITH src AS (
+  SELECT doc_id AS media_id, md5(text) AS h,
+         64 + CAST(('0x' || substr(md5(text), 1, 2)) AS INTEGER) % 192 AS w0,
+         64 + CAST(('0x' || substr(md5(text), 3, 2)) AS INTEGER) % 192 AS h0
+  FROM documents),
+s1 AS (
+  SELECT media_id, h,
+         CASE WHEN w0 > 128 THEN 128 ELSE w0 END AS w1,
+         CASE WHEN w0 > 128 THEN (h0 * 128) // w0 ELSE h0 END AS h1
+  FROM src),
+scaled AS (
+  SELECT media_id, h,
+         CASE WHEN h1 > 128 THEN (w1 * 128) // h1 ELSE w1 END AS width,
+         CASE WHEN h1 > 128 THEN 128 ELSE h1 END AS height
+  FROM s1)
+SELECT media_id, CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+       md5(h || ':' || CAST(width AS VARCHAR) || 'x' || CAST(height AS VARCHAR)) AS resized_md5
+FROM scaled
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing E2E: one video row fans out to
+    min(duration/5s, 16) frame rows with md5-derived frame bytes."""
+    media = M.documents_as_media(t(spark, sf_dir, "documents"), kind="video")
+    out = M.sample_frames(media, every_ms=5000, max_frames=16)
+    return out.select(
+        "media_id", "frame_idx", "frame_ts_ms", F.md5("frame").alias("frame_md5")
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+WITH src AS (
+  SELECT doc_id AS media_id, md5(text) AS h,
+         500 + CAST(('0x' || substr(md5(text), 5, 4)) AS INTEGER) % 60000 AS duration_ms
+  FROM documents),
+frames AS (
+  SELECT media_id, h, u.i AS frame_idx
+  FROM src,
+       UNNEST(generate_series(0, least(duration_ms // 5000, 16) - 1)) AS u(i))
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(frame_idx * 5000 AS INTEGER) AS frame_ts_ms,
+       md5(h || ':frame:' || CAST(frame_idx AS VARCHAR)) AS frame_md5
+FROM frames
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1034,6 +1093,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_knn_ivf": q_embed_knn_ivf,
     "dedup_simhash": q_dedup_simhash,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1066,6 +1127,8 @@ ORACLES: dict[str, str] = {
     "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     # embed_knn_lsh gained an oracle in r02: bucketing is now integer-exact
     # (quantized embeddings × md5-derived ±1 planes), so the candidate set
     # is engine-independent; recall quality is separately gated by the
