@@ -457,15 +457,24 @@ class LakeTable:
         source: DataFrame,
         batch_id: str | None = None,
         app_metadata: dict | None = None,
+        write_salt: int = 1,
     ) -> Commit:
         """Idempotent MERGE: upsert rows of ``source`` keyed ``self.keys``
         with last-writer-wins on ``self.ts_col``; rows with ``op='delete'``
         remove the key. Rewrites only the buckets present in the source.
 
+        ``write_salt`` > 1 spreads each bucket's WRITE across that many
+        tasks (deterministic salt from the full key) — the north-rule hot
+        conv_id control for the write path: a batch where one bucket holds
+        most rows otherwise serializes its write into one task. LWW itself
+        never needs the salt (map-side partial agg). Extra files per
+        bucket are folded by compact().
+
         Replay guard: if ``batch_id`` was already committed, returns the
         existing commit without touching data — this is what makes
         crash-recovery exactly-once (engine re-runs a batch, merge no-ops).
         """
+        self._write_salt = max(1, int(write_salt))
         if batch_id is not None:
             existing = self.get_commit_by_batch_id(batch_id)
             if existing is not None:
@@ -502,9 +511,21 @@ class LakeTable:
         version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        salt = getattr(self, "_write_salt", 1)
+        part_cols = [F.col(_BUCKET_COL)]
+        if salt > 1:
+            # deterministic salt over (key, ts): a hot bucket's rows —
+            # including many versions of ONE hot key — spread over `salt`
+            # write tasks instead of serializing into one
+            part_cols.append(
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in self.keys], F.col(self.ts_col)),
+                    F.lit(salt),
+                )
+            )
         (
             src.withColumn("_pb", F.col(_BUCKET_COL))
-            .repartition(F.col(_BUCKET_COL))
+            .repartition(*part_cols)
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(cdir)

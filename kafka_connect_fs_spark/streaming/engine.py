@@ -97,6 +97,9 @@ class IngestConfig:
     # folds deltas down. "cow" rewrites affected buckets per batch (only
     # sane for low-frequency batch loads touching few buckets).
     merge_mode: str = "mor"
+    # >1 spreads each bucket's delta WRITE over N tasks (deterministic
+    # key salt) — for hot conv_id batches; compaction folds the extra files
+    write_salt: int = 1
     files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
     bytes_per_trigger: int = 0  # 0 = unlimited (file_reader.batch_size /
     # maxBytesPerTrigger analog: caps the tail bytes admitted per batch)
@@ -557,6 +560,7 @@ class IngestEngine:
                 events,
                 batch_id=batch_id,
                 app_metadata={"watermarks": wm_updates, "cleanup": finished},
+                write_salt=cfg.write_salt,
             )
             if obs is not None:
                 # the merge's write action has run, so the metric is ready

@@ -462,3 +462,33 @@ def test_torn_checkpoint_falls_back_to_replay(spark, tmp_path):
     fresh2 = LakeTable(spark, root)
     st2 = fresh2._state_full()
     assert st2.version == 119 and len(st2.live) == 120
+
+
+def test_mor_write_salt_spreads_hot_bucket(spark, tmp_path):
+    """write_salt > 1: a batch dominated by ONE key (one bucket) writes
+    through several tasks/files instead of serializing into one; content
+    identical either way."""
+    t1 = LakeTable.create(spark, str(tmp_path / "s1"), keys=["conv_id", "turn_idx"],
+                          ts_col="ts", n_buckets=4, merge_mode="mor")
+    rows = [ev("hot", 0, f"v{i}", i) for i in range(400)] + [ev("c2", 0, "x", 1)]
+    # at toy scale AQE would re-coalesce the salted partitions (they are
+    # kilobytes); at real scale a hot bucket exceeds the advisory partition
+    # size and stays split — disable coalescing to observe the salt here
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        c1 = t1.merge(edf(spark, rows), "b1", write_salt=4)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    by_bucket: dict[int, int] = {}
+    for a in c1.added:
+        by_bucket[a["bucket"]] = by_bucket.get(a["bucket"], 0) + 1
+    assert max(by_bucket.values()) > 1  # hot bucket split across files
+    final = {(r.conv_id, r.turn_idx): r.text for r in t1.read().collect()}
+    assert final == {("hot", 0): "v399", ("c2", 0): "x"}
+    # compaction folds the salt files back down
+    t1.compact(min_files_per_bucket=2)
+    live, _, _ = t1._state()
+    per = {}
+    for a in live.values():
+        per[a["bucket"]] = per.get(a["bucket"], 0) + 1
+    assert all(n == 1 for n in per.values())
