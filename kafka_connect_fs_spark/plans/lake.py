@@ -64,6 +64,28 @@ class ConcurrentCommitError(RuntimeError):
     pass
 
 
+_INTEGRAL_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_FRACTIONAL_RANK = {"float": 0, "double": 1}
+
+
+def _promote(a: T.DataType, b: T.DataType) -> T.DataType:
+    """Iceberg-style type promotion: widen within integrals
+    (byte→short→int→long) and fractionals (float→double); an
+    integral×fractional mix widens to double. Anything else is an
+    incompatible evolution and raises."""
+    if a == b:
+        return a
+    sa, sb = a.simpleString(), b.simpleString()
+    if sa in _INTEGRAL_RANK and sb in _INTEGRAL_RANK:
+        return a if _INTEGRAL_RANK[sa] >= _INTEGRAL_RANK[sb] else b
+    if sa in _FRACTIONAL_RANK and sb in _FRACTIONAL_RANK:
+        return a if _FRACTIONAL_RANK[sa] >= _FRACTIONAL_RANK[sb] else b
+    numeric = set(_INTEGRAL_RANK) | set(_FRACTIONAL_RANK)
+    if sa in numeric and sb in numeric:
+        return T.DoubleType()
+    raise ValueError(f"incompatible type evolution: {sa} vs {sb}")
+
+
 def _iso(ts) -> str:
     """Timestamp → ISO string comparable with stored file stats (isoformat
     strings of equal precision compare correctly as strings; a space
@@ -339,7 +361,20 @@ class LakeTable:
         if not relpaths:
             return None
         paths = [os.path.join(self.root, _DATA_DIR, p) for p in relpaths]
-        df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        try:
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+        except Exception as e:  # pragma: no cover - branch asserted via tests
+            if "CANNOT_MERGE_SCHEMAS" not in str(e):
+                raise
+            # type-widened evolution: files written before and after an
+            # int→long / float→double column change coexist; Spark's
+            # mergeSchema refuses, but an EXPLICIT promoted schema reads
+            # both (Spark 4 parquet read-side type widening upcasts the
+            # narrow files). Build it from the footers with Iceberg
+            # promotion rules.
+            df = self.spark.read.schema(self._promoted_footer_schema(paths)).parquet(
+                *paths
+            )
         _, _, renames = self._state()
         for old, new in renames.items():
             if old in df.columns and new in df.columns:
@@ -551,16 +586,45 @@ class LakeTable:
         self._write_commit(commit)
         return commit
 
+    def _promoted_footer_schema(self, paths: Sequence[str]) -> T.StructType:
+        """Merged read schema straight from the parquet footers, widening
+        same-name numeric fields per _promote (driver-side, O(files) footer
+        reads — only on the rare evolved-type read path)."""
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        fields: dict[str, T.StructField] = {}
+        for p in paths:
+            sch = from_arrow_schema(pq.read_schema(p))
+            for f in sch.fields:
+                cur = fields.get(f.name)
+                if cur is None:
+                    fields[f.name] = T.StructField(f.name, f.dataType, True)
+                elif cur.dataType != f.dataType:
+                    fields[f.name] = T.StructField(
+                        f.name, _promote(cur.dataType, f.dataType), True
+                    )
+        return T.StructType(list(fields.values()))
+
     @staticmethod
     def _union_schema_json(prev_json: str | None, new: T.StructType) -> str:
-        """Evolved table schema = previous fields + newly-seen fields (a
-        delta batch missing an optional column must not shrink the table
-        schema; _read_files(mergeSchema) fills the gaps with nulls)."""
+        """Evolved table schema = previous fields + newly-seen fields, with
+        same-name numeric fields WIDENED per _promote (a delta batch
+        missing an optional column must not shrink the table schema, and a
+        batch arriving with long where the table has int widens the
+        column — old files upcast at read)."""
         if not prev_json:
             return new.json()
         prev = T.StructType.fromJson(json.loads(prev_json))
-        have = set(prev.fieldNames())
-        fields = list(prev.fields) + [f for f in new.fields if f.name not in have]
+        by_name = {f.name: f for f in new.fields}
+        fields = []
+        for f in prev.fields:
+            nf = by_name.pop(f.name, None)
+            if nf is not None and nf.dataType != f.dataType:
+                fields.append(T.StructField(f.name, _promote(f.dataType, nf.dataType), True))
+            else:
+                fields.append(f)
+        fields.extend(new.fields[i] for i, f in enumerate(new.fields) if f.name in by_name)
         return T.StructType(fields).json()
 
     def _merge_persisted(

@@ -492,3 +492,31 @@ def test_mor_write_salt_spreads_hot_bucket(spark, tmp_path):
     for a in live.values():
         per[a["bucket"]] = per.get(a["bucket"], 0) + 1
     assert all(n == 1 for n in per.values())
+
+
+def test_type_widening_evolution_int_to_long(spark, tmp_path):
+    """Column type widening (Iceberg promotion): a batch arriving with
+    BIGINT where the table has INT widens the column; files written before
+    AND after coexist and read back upcast (Spark 4 parquet read-side
+    widening behind the promoted footer schema)."""
+    t = LakeTable.create(spark, str(tmp_path / "w"), keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=4, merge_mode="mor")
+    S_INT = "conv_id string, turn_idx int, score int, ts timestamp"
+    S_LONG = "conv_id string, turn_idx int, score long, ts timestamp"
+    t.merge(spark.createDataFrame([("c1", 0, 7, ts(1))], S_INT), "b1")
+    big = 2**40
+    t.merge(spark.createDataFrame([("c2", 0, big, ts(2))], S_LONG), "b2")
+    sch = {f.name: f.dataType.simpleString() for f in t.current_schema().fields}
+    assert sch["score"] == "bigint"
+    got = {r.conv_id: r.score for r in t.read().collect()}
+    assert got == {"c1": 7, "c2": big}
+    assert dict(t.read().dtypes)["score"] == "bigint"
+    # float -> double widening through the same path
+    t2 = LakeTable.create(spark, str(tmp_path / "w2"), keys=["conv_id", "turn_idx"],
+                          ts_col="ts", n_buckets=4, merge_mode="mor")
+    t2.merge(spark.createDataFrame([("c1", 0, 1.5, ts(1))],
+                                   "conv_id string, turn_idx int, v float, ts timestamp"), "b1")
+    t2.merge(spark.createDataFrame([("c2", 0, 2.5, ts(2))],
+                                   "conv_id string, turn_idx int, v double, ts timestamp"), "b2")
+    assert dict(t2.read().dtypes)["v"] == "double"
+    assert {r.conv_id: r.v for r in t2.read().collect()} == {"c1": 1.5, "c2": 2.5}
