@@ -612,3 +612,50 @@ def test_hot_key_skew_ingest_is_exact(spark, tmp_path):
     res = engine.run_once()
     assert res.n_events == len(rows)
     assert_matches_oracle(engine, rows)
+
+
+def test_engine_type_widening_across_schema_versions(spark, tmp_path):
+    """A redeployed pipeline whose declared schema widened a column
+    (int -> long) keeps ingesting into the same table: old files upcast at
+    read, the batch diff records the type change."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    def schema(score_type):
+        return T.StructType(
+            [
+                T.StructField("conv_id", T.StringType()),
+                T.StructField("turn_idx", T.IntegerType()),
+                T.StructField("role", T.StringType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("score", score_type),
+                T.StructField("ts", T.TimestampType()),
+            ]
+        )
+
+    def write(path, rows):
+        with open(path, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    e1 = make_engine(spark, tmp_path, schema=schema(T.IntegerType()))
+    write(
+        tmp_path / "src" / "v1.jsonl",
+        [{"conv_id": "c1", "turn_idx": 0, "role": "u", "text": "a", "score": 7,
+          "ts": "2024-01-01 00:00:01"}],
+    )
+    e1.run_once()
+
+    e2 = make_engine(spark, tmp_path, schema=schema(T.LongType()))  # same table
+    big = 2**40
+    write(
+        tmp_path / "src" / "v2.jsonl",
+        [{"conv_id": "c2", "turn_idx": 0, "role": "u", "text": "b", "score": big,
+          "ts": "2024-01-01 00:00:02"}],
+    )
+    res = e2.run_once()
+    assert res.schema_diff and ["score", "int", "bigint"] in res.schema_diff["type_changed"]
+    got = {r.conv_id: r.score for r in e2.lake.read().collect()}
+    assert got == {"c1": 7, "c2": big}
+    assert dict(e2.lake.read().dtypes)["score"] == "bigint"
