@@ -77,3 +77,55 @@ def test_any_replay_matches_sequential_oracle(
     }
     exp = {k: v["text"] for k, v in expected_final_state(rows).items()}
     assert got == exp
+
+
+# ----------------------------------------------------- line-scanner property
+
+
+line_st = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\n\r"
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lines=st.lists(line_st, min_size=1, max_size=40),
+    split=st.integers(8, 120),
+    terminated=st.booleans(),
+)
+def test_line_scanner_recovers_any_file_under_any_split(
+    spark, tmp_path_factory, lines, split, terminated
+):
+    """For ANY content and ANY byte-split size: every line comes back
+    exactly once, values match, and each (offset, end) byte range slices
+    the original file back to its line — the Hadoop split contract,
+    property-tested (the reference can't split at all: one iterator per
+    file)."""
+    from kafka_connect_fs_spark.sources.readers import WorkItem, read_lines
+
+    tmp = tmp_path_factory.mktemp("scan")
+    p = str(tmp / "f.txt")
+    data = "\n".join(lines).encode() + (b"\n" if terminated else b"")
+    with open(p, "wb") as f:
+        f.write(data)
+    if not data:
+        return
+    expected = lines if (terminated or lines[-1] != "") else lines
+    if not terminated and lines[-1] == "":
+        expected = lines[:-1]  # no trailing newline → last empty line doesn't exist
+    out = read_lines(
+        spark, [WorkItem(p, 0, len(data))], max_split_bytes=split
+    ).orderBy("_src_offset").collect()
+    assert [r.value for r in out] == expected
+    raw = open(p, "rb").read()
+    for r in out:
+        sliced = raw[r._src_offset : r._src_end].decode().rstrip("\n").rstrip("\r")
+        assert sliced == r.value
