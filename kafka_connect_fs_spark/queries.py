@@ -219,6 +219,9 @@ def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool):
 
     from kafka_connect_fs_spark.plans.lake import LakeTable
 
+    # defend against a caller session configured with legacy INT96 parquet
+    # timestamps (no footer stats → file pruning degrades); runtime-settable
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     base = tempfile.mkdtemp(prefix="kcfs_lake_q_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     lake = LakeTable.create(
