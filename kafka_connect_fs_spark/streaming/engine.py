@@ -137,6 +137,14 @@ class IngestEngine:
     def __init__(self, spark: SparkSession, config: IngestConfig):
         self.spark = spark
         self.config = config
+        # reference parity (data_type_mapping_error=false,
+        # UnivocityFileReader.java:273-305): unparseable cells become NULL
+        # and the record is quarantined — under ANSI (the Spark 4 default)
+        # the same cast would fail the whole batch instead. The engine owns
+        # its session in deployment (spark-submit driver loop), so pin both
+        # runtime-settable confs its semantics depend on.
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         self.lake = (
             LakeTable(spark, config.table_root)
             if LakeTable.exists(config.table_root)
