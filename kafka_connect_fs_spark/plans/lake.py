@@ -432,7 +432,19 @@ class LakeTable:
         xxhash64 twin (functions/hashing.py) — no Spark job per lookup."""
         bucket = spark_xxhash64(key_value) % self.n_buckets
         live, _, _ = self._state()
-        files = [p for p, a in live.items() if a["bucket"] == bucket]
+        files = [
+            p
+            for p, a in live.items()
+            if a["bucket"] == bucket
+            # second-level pruning: per-file [key_min, key_max] footer
+            # stats (tight after key-clustered compaction) skip the
+            # bucket's sibling files too; unknown stats are never pruned
+            and (
+                a.get("key_min") is None
+                or not isinstance(key_value, str)
+                or a["key_min"] <= key_value <= a["key_max"]
+            )
+        ]
         df = self._read_files(files)
         if df is None:
             return self.read().limit(0)
@@ -711,25 +723,26 @@ class LakeTable:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, os.path.join(self.root, _DATA_DIR))
                 md = pq.ParquetFile(full).metadata
-                ts_min, ts_max = self._ts_stats(md)
+                ts_min, ts_max = self._col_stats(md, self.ts_col)
+                key_min, key_max = self._col_stats(md, self.keys[0])
                 added.append(
                     {
                         "path": rel, "bucket": bucket, "rows": md.num_rows,
                         "ts_min": ts_min, "ts_max": ts_max,
+                        "key_min": key_min, "key_max": key_max,
                     }
                 )
         return sorted(added, key=lambda a: a["path"])
 
-    def _ts_stats(self, md) -> tuple[str | None, str | None]:
-        """Per-file [min, max] of ts_col from parquet footer row-group
-        stats — the manifest column-stat Iceberg keeps, enabling
-        read_range() to prune whole files by event time."""
+    def _col_stats(self, md, col: str) -> tuple:
+        """Per-file [min, max] of a column from parquet footer row-group
+        stats — the manifest column-stats Iceberg keeps. Enables
+        read_range() (ts) and read_key() (first key, after key-clustered
+        compaction) to prune whole files. Parquet writers keep truncated
+        string bounds valid (min rounded down, max rounded up), so pruning
+        with them is always safe."""
         idx = next(
-            (
-                i
-                for i in range(md.num_columns)
-                if md.schema.column(i).path == self.ts_col
-            ),
+            (i for i in range(md.num_columns) if md.schema.column(i).path == col),
             None,
         )
         if idx is None:
@@ -743,7 +756,14 @@ class LakeTable:
             hi = st.max if hi is None else max(hi, st.max)
         if lo is None:
             return None, None
-        return lo.isoformat(), hi.isoformat()
+        if hasattr(lo, "isoformat"):
+            return lo.isoformat(), hi.isoformat()
+        if isinstance(lo, bytes):
+            try:
+                return lo.decode("utf-8"), hi.decode("utf-8")
+            except UnicodeDecodeError:
+                return None, None
+        return lo, hi
 
     # ------------------------------------------------------ schema evolution
     def rename_column(self, old: str, new: str) -> Commit:
@@ -793,8 +813,13 @@ class LakeTable:
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
+            # cluster by key within each rewritten bucket: the footer key
+            # stats become tight, so read_key skips sibling files, and
+            # parquet row-group stats prune inside the file (the Iceberg
+            # sort-order-on-rewrite pattern)
             df.withColumn("_pb", F.col(_BUCKET_COL))
             .repartition(len(targets), F.col(_BUCKET_COL))
+            .sortWithinPartitions(*self.keys)
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(cdir)

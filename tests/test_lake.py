@@ -520,3 +520,30 @@ def test_type_widening_evolution_int_to_long(spark, tmp_path):
                                    "conv_id string, turn_idx int, v double, ts timestamp"), "b2")
     assert dict(t2.read().dtypes)["v"] == "double"
     assert {r.conv_id: r.v for r in t2.read().collect()} == {"c1": 1.5, "c2": 2.5}
+
+
+def test_read_key_prunes_files_by_key_stats(spark, mor_table):
+    """After key-clustered compaction, per-file [key_min, key_max] stats
+    let a point lookup skip sibling files in its own bucket."""
+    t = mor_table
+    # many keys, several merges → several files per bucket
+    for b in range(3):
+        t.merge(edf(spark, [ev(f"c{i:03d}", 0, f"{b}:{i}", b * 100 + i)
+                            for i in range(b * 30, b * 30 + 30)]), f"b{b}")
+    t.compact(min_files_per_bucket=1)
+    live, _, _ = t._state()
+    assert all(a.get("key_min") and a.get("key_max") for a in live.values())
+    # the lookup reads at most the files whose range covers the key
+    target = "c005"
+    from kafka_connect_fs_spark.functions.hashing import spark_xxhash64
+
+    bucket = spark_xxhash64(target) % t.n_buckets
+    bucket_files = [p for p, a in live.items() if a["bucket"] == bucket]
+    covering = [
+        p for p, a in live.items()
+        if a["bucket"] == bucket and a["key_min"] <= target <= a["key_max"]
+    ]
+    assert len(covering) <= len(bucket_files)
+    got = t.read_key(target).collect()
+    assert [(r.conv_id, r.text) for r in got] == [(target, "0:5")]
+    assert t.read_key("zzz_missing").count() == 0
