@@ -55,10 +55,13 @@ _ARROW_SCHEMA = pa.schema(
 
 
 class WatermarkStore:
+    _keep_versions = 2  # latest + crash fallback; older snapshots are dead
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._cache: tuple[int, dict] | None = None  # (version, rows)
 
     def _versions(self) -> list[int]:
         out = []
@@ -99,8 +102,16 @@ class WatermarkStore:
         return {r["path"]: r for r in table.to_pylist()}
 
     def load_dict(self) -> dict[str, dict]:
-        """Driver-side snapshot: {path: {committed_offset, file_size, eof, …}}."""
-        return self._load_rows()
+        """Driver-side snapshot: {path: {committed_offset, file_size, eof, …}}.
+        Cached in-process per version — a daemon pays one parquet read at
+        startup, then zero per batch (commit() refreshes the cache)."""
+        vs = self._versions()
+        latest = vs[-1] if vs else -1
+        if self._cache is not None and self._cache[0] == latest:
+            return self._cache[1]
+        rows = self._load_rows()
+        self._cache = (latest, rows)
+        return rows
 
     def load(self) -> DataFrame:
         """Spark view of the snapshot (for lineage/monitoring queries)."""
@@ -151,3 +162,18 @@ class WatermarkStore:
         # writer won; no window where the marker exists empty
         os.link(tmp, marker)
         os.unlink(tmp)
+        self._cache = (batch_seq, rows)
+        # retention: a long-running daemon writes one snapshot per batch —
+        # drop everything older than the last _keep_versions (recovery only
+        # ever reads the newest complete snapshot; the watermark delta of a
+        # crashed batch is recovered from the lake commit's app_metadata)
+        import shutil as _shutil
+
+        for v in self._versions()[: -self._keep_versions]:
+            try:
+                os.unlink(os.path.join(self.root, f"v{v:012d}.json"))
+                _shutil.rmtree(
+                    os.path.join(self.root, f"v{v:012d}"), ignore_errors=True
+                )
+            except OSError:
+                pass

@@ -659,3 +659,26 @@ def test_engine_type_widening_across_schema_versions(spark, tmp_path):
     got = {r.conv_id: r.score for r in e2.lake.read().collect()}
     assert got == {"c1": 7, "c2": big}
     assert dict(e2.lake.read().dtypes)["score"] == "bigint"
+
+
+def test_watermark_snapshot_retention_and_cache(spark, tmp_path):
+    """A daemon's watermark store stays O(1) on disk (old snapshot versions
+    pruned) and O(0) reads per batch (in-process cache per version)."""
+    import os as _os
+
+    engine = make_engine(spark, tmp_path)
+    for i in range(5):
+        write_jsonl(transcript_change_events(2, 2, seed=i),
+                    str(tmp_path / "src" / f"f{i}.jsonl"))
+        engine.run_once()
+    vs = engine.watermarks._versions()
+    assert len(vs) <= 2, vs  # retention
+    # cache: same version → identical object, no re-read
+    d1 = engine.watermarks.load_dict()
+    d2 = engine.watermarks.load_dict()
+    assert d1 is d2
+    # cold store still loads the latest snapshot correctly
+    from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
+
+    fresh = WatermarkStore(spark, str(tmp_path / "ckpt" / "watermarks"))
+    assert fresh.load_dict() == d1 and fresh.last_seq() == engine.watermarks.last_seq()
