@@ -887,16 +887,23 @@ class LakeTable:
     def history(self) -> list[dict]:
         return [c.__dict__ for c in self.commits()]
 
-    def vacuum(self) -> int:
-        """Delete data files no longer referenced by the latest snapshot."""
-        live, _, _ = self._state()
+    def vacuum(self, retain_versions: int = 0) -> int:
+        """Delete data files referenced by NO retained snapshot (orphans of
+        losing writers included). ``retain_versions`` > 0 keeps every file
+        any of the last N versions references — time travel within the
+        retention window survives vacuum (the Iceberg expire-snapshots
+        retention pattern); 0 retains only the latest snapshot."""
+        latest = self.latest_version()
+        keep: set[str] = set(self._state_full().live)
+        for v in range(max(0, latest - retain_versions + 1), latest):
+            keep.update(self._state_full(at_version=v).live)
         data_root = os.path.join(self.root, _DATA_DIR)
         removed = 0
         for dirpath, _, files in os.walk(data_root):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, data_root)
-                if fn.endswith(".parquet") and rel not in live:
+                if fn.endswith(".parquet") and rel not in keep:
                     os.unlink(full)
                     removed += 1
         return removed

@@ -547,3 +547,18 @@ def test_read_key_prunes_files_by_key_stats(spark, mor_table):
     got = t.read_key(target).collect()
     assert [(r.conv_id, r.text) for r in got] == [(target, "0:5")]
     assert t.read_key("zzz_missing").count() == 0
+
+
+def test_vacuum_retention_preserves_time_travel(spark, table):
+    c1 = table.merge(edf(spark, [ev("c1", 0, "v1", 1)]), "b1")
+    c2 = table.merge(edf(spark, [ev("c1", 0, "v2", 2)]), "b2")
+    c3 = table.merge(edf(spark, [ev("c1", 0, "v3", 3)]), "b3")
+    # keep the last 2 versions' files: v2 and v3 readable, v1's file gone
+    table.vacuum(retain_versions=2)
+    assert table.read(at_version=c3.version).collect()[0].text == "v3"
+    assert table.read(at_version=c2.version).collect()[0].text == "v2"
+    with pytest.raises(Exception):
+        table.read(at_version=c1.version).collect()
+    # full vacuum keeps only the latest
+    table.vacuum()
+    assert table.read().collect()[0].text == "v3"
