@@ -484,6 +484,54 @@ class LakeTable:
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
         return df.drop(*drop)
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change Data Feed: the change events committed in versions
+        (from_version, to_version] — the downstream-consumer API (a second
+        pipeline tails THIS table like the engine tails files).
+
+        In MoR mode this is metadata-only: each merge commit's delta files
+        ARE its change batch (op column included, deletes as op='delete'),
+        so serving changes costs one file-list lookup plus a scan of
+        exactly those files — no diffing of snapshots. Maintenance commits
+        (compaction/expiry, batch_id None) rewrite physical layout without
+        new logical changes and are skipped. Emitted columns gain
+        `_commit_version` and `_batch_id` lineage.
+
+        Vacuum interplay: change files of versions older than the latest
+        snapshot stay on disk until vacuum() removes unreferenced files —
+        use vacuum(retain_versions=N) to keep a changelog window readable.
+        Only supported in MoR mode (a CoW commit's files are whole
+        rewritten buckets, not changes)."""
+        if self.merge_mode != "mor":
+            raise ValueError("read_changes requires merge_mode='mor'")
+        to_v = self.latest_version() if to_version is None else to_version
+        parts = []
+        for name in self._list_commit_names():
+            v = int(name[:20])
+            if v <= from_version or v > to_v:
+                continue
+            c = self._load_commit(name)
+            if c.batch_id is None or not c.added:
+                continue  # maintenance commit: no new logical changes
+            df = self._read_files([a["path"] for a in c.added])
+            parts.append(
+                df.withColumn("_commit_version", F.lit(c.version)).withColumn(
+                    "_batch_id", F.lit(c.batch_id)
+                )
+            )
+        if not parts:
+            empty = self.read().limit(0)
+            return empty.withColumn(
+                "_commit_version", F.lit(0).cast("long")
+            ).withColumn("_batch_id", F.lit(""))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        drop = [c for c in (_BUCKET_COL,) if c in out.columns]
+        return out.drop(*drop)
+
     def files_in_range(self, ts_from=None, ts_to=None) -> list[str]:
         """The live files read_range would open (exposed for tests/metrics)."""
         live, _, _ = self._state()

@@ -562,3 +562,30 @@ def test_vacuum_retention_preserves_time_travel(spark, table):
     # full vacuum keeps only the latest
     table.vacuum()
     assert table.read().collect()[0].text == "v3"
+
+
+def test_read_changes_serves_exact_change_batches(spark, mor_table):
+    """CDF: changes between two versions come back exactly — upserts AND
+    delete events with their op — without snapshot diffing; compaction
+    commits add no phantom changes."""
+    t = mor_table
+    c1 = t.merge(edf(spark, [ev("c1", 0, "a", 1), ev("c2", 0, "b", 1)]), "b1")
+    c2 = t.merge(edf(spark, [ev("c1", 0, "a2", 2)]), "b2")
+    c3 = t.merge(edf(spark, [ev("c2", 0, "", 3, op="delete")]), "b3")
+    ch = t.read_changes(c1.version).collect()
+    got = {(r.conv_id, r.op, r.text, r._commit_version, r._batch_id) for r in ch}
+    assert got == {
+        ("c1", "upsert", "a2", c2.version, "b2"),
+        ("c2", "delete", "", c3.version, "b3"),
+    }
+    # bounded upper version
+    assert {r.text for r in t.read_changes(c1.version, c2.version).collect()} == {"a2"}
+    # compaction emits no changes
+    t.compact(min_files_per_bucket=1)
+    assert {r.text for r in t.read_changes(c3.version).collect()} == set()
+    # full replay of the feed reconstructs the final state
+    allch = t.read_changes(-1)
+    from kafka_connect_fs_spark.operators.lww import lww_dedup
+
+    final = lww_dedup(allch, ["conv_id", "turn_idx"], "ts").filter("op != 'delete'")
+    assert {(r.conv_id, r.text) for r in final.collect()} == {("c1", "a2")}
