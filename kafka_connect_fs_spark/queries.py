@@ -207,12 +207,16 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool):
+_LAKE_CACHE: dict[str, str] = {}  # sf_dir -> built lake root (process-lifetime)
+
+
+def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool = True):
     """Two-batch MoR lake from transcript events, split at Jan 16 (mid-span
     of the generated month): batch 1 = earlier half, batch 2 = later half
-    (optionally carrying an extra `quality` column — schema evolution).
-    ``_src_offset`` carries event_id so the lake's LWW tie-break equals the
-    oracle's ORDER BY ts DESC, event_id DESC."""
+    carrying an extra `quality` column (schema evolution). ``_src_offset``
+    carries event_id so the lake's LWW tie-break equals the oracle's
+    ORDER BY ts DESC, event_id DESC. Built once per process per sf_dir —
+    both lake queries (temporal pruning + evolution) share it."""
     import atexit
     import shutil
     import tempfile
@@ -222,6 +226,9 @@ def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool):
     # defend against a caller session configured with legacy INT96 parquet
     # timestamps (no footer stats → file pruning degrades); runtime-settable
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    cached = _LAKE_CACHE.get(sf_dir)
+    if cached is not None and LakeTable.exists(os.path.join(cached, "t")):
+        return LakeTable(spark, os.path.join(cached, "t"))
     base = tempfile.mkdtemp(prefix="kcfs_lake_q_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     lake = LakeTable.create(
@@ -238,13 +245,12 @@ def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool):
     )
     cut = LAKE_CUT_TS
     early = src.where(F.col("ts") < cut).drop("event_id")
-    late = src.where(F.col("ts") >= cut)
-    if with_quality:
-        late = late.withColumn(
-            "quality", (F.col("event_id") % 100).cast("int")
-        )
+    late = src.where(F.col("ts") >= cut).withColumn(
+        "quality", (F.col("event_id") % 100).cast("int")
+    )
     lake.merge(early, "b1")
     lake.merge(late.drop("event_id"), "b2")
+    _LAKE_CACHE[sf_dir] = base
     return lake
 
 
@@ -257,7 +263,7 @@ def q_lake_read_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     log's per-file [ts_min, ts_max] footer stats must actually PRUNE the
     early-batch files (asserted — this query fails if pruning degrades to
     read-everything), and the resolved in-window state must match SQL."""
-    lake = _build_split_lake(spark, sf_dir, with_quality=False)
+    lake = _build_split_lake(spark, sf_dir)
     pruned = lake.files_in_range(ts_from=LAKE_CUT_TS)
     live, _, _ = lake._state()
     assert 0 < len(pruned) < len(live), (len(pruned), len(live))
@@ -283,7 +289,7 @@ def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-add schema evolution through MERGE: batch 2 carries a new
     `quality` column; the evolved table serves old rows with NULL and new
     rows with the value, LWW-resolved across both generations."""
-    lake = _build_split_lake(spark, sf_dir, with_quality=True)
+    lake = _build_split_lake(spark, sf_dir)
     assert "quality" in [f.name for f in lake.current_schema().fields]
     return lake.read().select(
         "conv_id", "turn_idx", "text", "quality",
