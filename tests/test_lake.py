@@ -589,3 +589,28 @@ def test_read_changes_serves_exact_change_batches(spark, mor_table):
 
     final = lww_dedup(allch, ["conv_id", "turn_idx"], "ts").filter("op != 'delete'")
     assert {(r.conv_id, r.text) for r in final.collect()} == {("c1", "a2")}
+
+
+def test_downstream_pipeline_tails_the_lake_via_cdf(spark, tmp_path):
+    """Composition: pipeline A ingests files into lake A; pipeline B tails
+    lake A's change feed version-by-version into lake B. After any number
+    of batches, B's final state equals A's — the lake is itself a tailable
+    CDC source for downstream consumers."""
+    a = LakeTable.create(spark, str(tmp_path / "a"), keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=4, merge_mode="mor")
+    b = LakeTable.create(spark, str(tmp_path / "b"), keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=4, merge_mode="mor")
+    cursor = -1
+    for i in range(3):
+        batch = [ev(f"c{j}", 0, f"g{i}:{j}", i * 10 + j) for j in range(4)]
+        if i == 2:
+            batch.append(ev("c0", 0, "", 99, op="delete"))
+        a.merge(edf(spark, batch), f"a{i}")
+        # downstream tail: consume exactly the new versions
+        head = a.latest_version()
+        changes = a.read_changes(cursor, head)
+        b.merge(changes, batch_id=f"b-from-a-{head}")
+        cursor = head
+    state_a = {(r.conv_id, r.turn_idx): r.text for r in a.read().collect()}
+    state_b = {(r.conv_id, r.turn_idx): r.text for r in b.read().collect()}
+    assert state_a == state_b and ("c0", 0) not in state_a
