@@ -409,7 +409,7 @@ class IngestEngine:
                 recovered.metrics.get("rows_written", 0), recovered=True,
                 cleaned=cleaned, duration_s=time.monotonic() - t0,
             )
-            self._log_metrics(res, recovered.metrics)
+            self._log_metrics(res, recovered.metrics, version=recovered.version)
             return res
 
         raw_listing = (
@@ -590,7 +590,7 @@ class IngestEngine:
             commit.metrics.get("rows_written", 0), cleaned=cleaned,
             duration_s=time.monotonic() - t0, schema_diff=schema_diff,
         )
-        self._log_metrics(res, commit.metrics, added=commit.added)
+        self._log_metrics(res, commit.metrics, added=commit.added, version=commit.version)
         return res
 
     def run(self, policy, stop_on_error: bool = False) -> list[BatchResult]:
@@ -686,9 +686,12 @@ class IngestEngine:
         return dest
 
     # -------------------------------------------------------------- metrics
-    def _log_metrics(self, res: BatchResult, merge_metrics: dict, added=None) -> None:
+    def _log_metrics(
+        self, res: BatchResult, merge_metrics: dict, added=None, version=None
+    ) -> None:
         rec = {
             "batch_id": res.batch_id,
+            "lake_version": version,
             "seq": res.seq,
             "n_files": res.n_files,
             "n_events": res.n_events,

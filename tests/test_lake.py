@@ -614,3 +614,14 @@ def test_downstream_pipeline_tails_the_lake_via_cdf(spark, tmp_path):
     state_a = {(r.conv_id, r.turn_idx): r.text for r in a.read().collect()}
     state_b = {(r.conv_id, r.turn_idx): r.text for r in b.read().collect()}
     assert state_a == state_b and ("c0", 0) not in state_a
+
+
+def test_read_range_both_bounds(spark, mor_table):
+    t = mor_table
+    t.merge(edf(spark, [ev("c1", 0, "early", 10), ev("c2", 0, "mid", 500),
+                        ev("c3", 0, "late", 2000)]), "b1")
+    rows = {r.conv_id for r in t.read_range(ts_from=ts(100), ts_to=ts(1000)).collect()}
+    assert rows == {"c2"}
+    # half-open: from inclusive, to exclusive
+    rows2 = {r.conv_id for r in t.read_range(ts_from=ts(500), ts_to=ts(2000)).collect()}
+    assert rows2 == {"c2"}
