@@ -431,19 +431,22 @@ class LakeTable:
         bucket-partition pruning). The bucket id comes from the driver-side
         xxhash64 twin (functions/hashing.py) — no Spark job per lookup."""
         bucket = spark_xxhash64(key_value) % self.n_buckets
-        live, _, _ = self._state()
-        files = [
-            p
-            for p, a in live.items()
-            if a["bucket"] == bucket
+        def _covers(a: dict) -> bool:
             # second-level pruning: per-file [key_min, key_max] footer
             # stats (tight after key-clustered compaction) skip the
-            # bucket's sibling files too; unknown stats are never pruned
-            and (
-                a.get("key_min") is None
-                or not isinstance(key_value, str)
-                or a["key_min"] <= key_value <= a["key_max"]
-            )
+            # bucket's sibling files too; unknown or type-incomparable
+            # stats are never pruned
+            lo, hi = a.get("key_min"), a.get("key_max")
+            if lo is None or hi is None:
+                return True
+            try:
+                return lo <= key_value <= hi
+            except TypeError:
+                return True
+
+        live, _, _ = self._state()
+        files = [
+            p for p, a in live.items() if a["bucket"] == bucket and _covers(a)
         ]
         df = self._read_files(files)
         if df is None:
