@@ -1,0 +1,152 @@
+"""Pure-Python Avro container path — makes AvroFileReader parity REAL in
+this sandbox (no spark-avro jar, no Python avro lib): spec-level container
+codec round-trips, typed Spark reads, reader-schema projection, deflate
+blocks, and an engine end-to-end over .avro files."""
+
+from __future__ import annotations
+
+import io
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from kafka_connect_fs_spark.sources.avro_io import (
+    avro_to_spark_schema,
+    parse_container,
+    write_container,
+)
+from kafka_connect_fs_spark.sources.readers import WorkItem, read_avro_python
+
+SCHEMA = {
+    "type": "record",
+    "name": "Turn",
+    "fields": [
+        {"name": "conv_id", "type": "string"},
+        {"name": "turn_idx", "type": "int"},
+        {"name": "score", "type": "double"},
+        {"name": "big", "type": "long"},
+        {"name": "flag", "type": "boolean"},
+        {"name": "tool", "type": ["null", "string"]},
+        {"name": "payload", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "attrs", "type": {"type": "map", "values": "int"}},
+        {"name": "kind", "type": {"type": "enum", "name": "K", "symbols": ["a", "b"]}},
+    ],
+}
+
+
+def recs(n):
+    return [
+        {
+            "conv_id": f"c{i}",
+            "turn_idx": i,
+            "score": i / 2,
+            "big": 2**40 + i,
+            "flag": i % 2 == 0,
+            "tool": None if i % 3 == 0 else f"t{i}",
+            "payload": bytes([i % 256, 255, 0]),
+            "tags": [f"x{i}", "y"],
+            "attrs": {"n": i},
+            "kind": "a" if i % 2 else "b",
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_container_roundtrip_all_types(tmp_path, codec):
+    p = str(tmp_path / f"t_{codec}.avro")
+    rows = recs(150)  # > block_size → multi-block
+    write_container(p, SCHEMA, rows, codec=codec)
+    schema, back = parse_container(open(p, "rb").read())
+    assert schema["name"] == "Turn" and back == rows
+
+
+def test_spark_read_typed(spark, tmp_path):
+    p = str(tmp_path / "t.avro")
+    write_container(p, SCHEMA, recs(40), codec="deflate")
+    df = read_avro_python(spark, [WorkItem(p, 0, os.path.getsize(p))])
+    dt = dict(df.dtypes)
+    assert dt["turn_idx"] == "int" and dt["big"] == "bigint"
+    assert dt["payload"] == "binary" and dt["tags"] == "array<string>"
+    out = {r.conv_id: r for r in df.collect()}
+    assert len(out) == 40
+    r7 = out["c7"]
+    assert (r7.turn_idx, r7.big, r7.flag, r7.kind) == (7, 2**40 + 7, False, "a")
+    assert bytes(r7.payload) == bytes([7, 255, 0]) and r7.attrs["n"] == 7
+    assert out["c3"].tool is None and out["c4"].tool == "t4"
+    # derived schema equals avro_to_spark_schema
+    assert avro_to_spark_schema(SCHEMA)["big"].dataType == T.LongType()
+
+
+def test_reader_schema_projection(spark, tmp_path):
+    """AvroFileReader reader-schema parity (:24,43-47): a narrower declared
+    schema projects; a field absent from the writer fills with null."""
+    p = str(tmp_path / "t.avro")
+    write_container(p, SCHEMA, recs(10))
+    reader_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("added_later", T.StringType()),
+        ]
+    )
+    df = read_avro_python(
+        spark, [WorkItem(p, 0, os.path.getsize(p))], schema=reader_schema
+    )
+    rows = df.orderBy("turn_idx").collect()
+    assert [f.name for f in df.schema.fields][2:] == [
+        "conv_id", "turn_idx", "added_later"
+    ]
+    assert rows[0].conv_id == "c0" and rows[0].added_later is None
+
+
+def test_engine_ingests_avro_files_end_to_end(spark, tmp_path):
+    """Rotate-based avro ingest through the engine (agnostic dispatch by
+    .avro extension), exactly-once across triggers."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    os.makedirs(tmp_path / "src")
+    ev_schema = {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+            {"name": "role", "type": "string"},
+            {"name": "text", "type": "string"},
+            {"name": "ts", "type": "string"},
+        ],
+    }
+
+    def ev(c, t, text, s):
+        return {"conv_id": c, "turn_idx": t, "role": "u", "text": text,
+                "ts": f"2024-01-01 00:00:{s:02d}"}
+
+    write_container(str(tmp_path / "src" / "a.avro"), ev_schema,
+                    [ev("c1", 0, "hi", 1), ev("c1", 1, "yo", 2)])
+    spark_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    eng = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(tmp_path / "src")], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="agnostic",
+            schema=spark_schema, n_buckets=4,
+        ),
+    )
+    assert eng.run_once().n_events == 2
+    assert eng.run_once().n_events == 0  # rotate semantics: never re-read
+    write_container(str(tmp_path / "src" / "b.avro"), ev_schema,
+                    [ev("c2", 0, "new", 9)], codec="deflate")
+    assert eng.run_once().n_events == 1
+    got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
+    assert got == {("c1", 0): "hi", ("c1", 1): "yo", ("c2", 0): "new"}
