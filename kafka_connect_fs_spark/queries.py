@@ -1067,6 +1067,60 @@ FROM frames
 """
 
 
+def q_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro capability end-to-end WITHOUT the spark-avro jar: synthesize an
+    Avro object-container file from an events slice (pure-Python codec,
+    deflate blocks), scan it back through read_columnar's fallback path,
+    and hash-match the original rows — container encode/decode, block
+    framing, union nulls and double round-trips all sit on the hash path."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.sources.avro_io import write_container
+    from kafka_connect_fs_spark.sources.readers import WorkItem, read_columnar
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select(
+            "event_id", "user_id", "event_type", "value",
+            F.date_format(F.col("ts").cast("timestamp"), TS_FMT_SPARK).alias("ts_s"),
+        )
+        .collect()  # bounded slice: file synthesis only, not the scan path
+    )
+    schema = {
+        "type": "record",
+        "name": "Ev",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"},
+            {"name": "ts_s", "type": "string"},
+        ],
+    }
+    base = tempfile.mkdtemp(prefix="kcfs_avro_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "events.avro")
+    write_container(path, schema, [r.asDict() for r in e], codec="deflate")
+    df = read_columnar(
+        spark, [WorkItem(path, 0, os.path.getsize(path))], "avro"
+    )
+    return df.select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+        F.col("ts_s").alias("last_ts"),
+    )
+
+
+SQL_AVRO_INGEST_ROUNDTRIP = f"""
+SELECT event_id, user_id, event_type, round(value, 4) AS value,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM events WHERE event_id < 2000
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1077,6 +1131,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_e2e_final_state": q_ingest_e2e_final_state,
     "lake_read_range": q_lake_read_range,
     "lake_schema_evolution": q_lake_schema_evolution,
+    "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "region_revenue_rollup": q_region_revenue_rollup,
@@ -1113,6 +1168,7 @@ ORACLES: dict[str, str] = {
     "ingest_e2e_final_state": SQL_TRANSCRIPT_FINAL_STATE,
     "lake_read_range": SQL_LAKE_READ_RANGE,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
+    "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "q1_pricing_summary": SQL_Q1,
     "q3_top_revenue": SQL_Q3,
     "region_revenue_rollup": SQL_REGION_ROLLUP,
