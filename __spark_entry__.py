@@ -5,10 +5,10 @@ transcript change-event files from sf0.001 events → IngestEngine discovery/
 watermarks/vectorized parse → LWW MERGE into the lake table → final state).
 ``queries()`` exposes every implemented operator from SURVEY.md §2 plus the
 training-pipeline ops; ``oracle_sql()`` gives the DuckDB twin for EVERY
-query (33/33 as of r02: CDC/LWW, full-engine ingest E2E, lake temporal
+query (34/34 as of r02: CDC/LWW, full-engine ingest E2E, lake temporal
 pruning + schema evolution, TPC-H-ish relational anchors, windows/set ops,
 4 dedup families, brute/LSH/IVF ANN, text analysis incl. BPE-ish token
-counts and rolling fingerprints, multimodal decode/resize/frame-sample).
+counts and rolling fingerprints, multimodal decode/resize/frame-sample, a jar-free Avro round-trip).
 """
 
 from __future__ import annotations
