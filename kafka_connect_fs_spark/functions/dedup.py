@@ -16,7 +16,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -56,11 +56,12 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
         F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
     ).otherwise(F.array().cast("array<int>"))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
-    )
+    # per-doc set semantics map-side: array_distinct inside the row removes
+    # the (doc_id, shingle) distinct SHUFFLE a post-explode .distinct()
+    # would cost — the widest data in the pipeline never shuffles for
+    # dedupe (it still shuffles once, on the consumer's own key)
+    sh = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
@@ -155,16 +156,19 @@ def ngram_jaccard_pairs(
             "shingle", F.concat_ws("\x1f", F.col(block_col), F.col("shingle"))
         ).drop(block_col)
     if max_shingle_df is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
+        # df cap as a window count over shingle, not a separate aggregate +
+        # semi-join: ONE shuffle on shingle whose exchange ReuseExchange
+        # dedupes across every downstream consumer (sizes ×2 + postings),
+        # so the explode is computed exactly once per action instead of 3×
+        # (the r02 regression). Hot shingles never reach the quadratic pair
+        # generation; the window's unbounded count spills per-partition
+        # instead of building driver- or reducer-side giant structures.
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
             .where(F.col("_df") <= max_shingle_df)
-            .select("shingle")
+            .drop("_df")
         )
-        # left-semi on the same key as the posting-list groupBy below:
-        # partial-agg df count, then hot shingles never reach the
-        # quadratic pair generation (and never build giant posting lists)
-        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     # posting-list pair generation: ONE shuffle on shingle builds the
     # sorted doc list (bounded by the df cap), then all (a < b) pairs come

@@ -86,13 +86,18 @@ def _promote(a: T.DataType, b: T.DataType) -> T.DataType:
     raise ValueError(f"incompatible type evolution: {sa} vs {sb}")
 
 
-def _iso(ts) -> str:
+def _iso(ts):
     """Timestamp → ISO string comparable with stored file stats (isoformat
     strings of equal precision compare correctly as strings; a space
-    separator would sort after 'T', so normalize it)."""
+    separator would sort after 'T', so normalize it). Non-str values
+    without an isoformat (e.g. an int-epoch ts_col bound) pass through
+    unchanged — the caller's comparison is guarded and falls back to
+    reading the file when stats and bound are incomparable."""
     if isinstance(ts, str):
         return ts.replace(" ", "T", 1)
-    return ts.isoformat()
+    if hasattr(ts, "isoformat"):
+        return ts.isoformat()
+    return ts
 
 
 @dataclass
@@ -520,15 +525,26 @@ class LakeTable:
                 continue  # maintenance commit: no new logical changes
             df = self._read_files([a["path"] for a in c.added])
             parts.append(
-                df.withColumn("_commit_version", F.lit(c.version)).withColumn(
-                    "_batch_id", F.lit(c.batch_id)
-                )
+                df.withColumn(
+                    "_commit_version", F.lit(c.version).cast("long")
+                ).withColumn("_batch_id", F.lit(c.batch_id))
             )
         if not parts:
-            empty = self.read().limit(0)
-            return empty.withColumn(
+            # mirror the NON-empty schema (raw change-file columns, incl.
+            # `op` and lineage) so a consumer unioning polls across calls
+            # never hits a schema clash on an empty poll
+            live, _, _ = self._state()
+            raw = self._read_files(sorted(live)[:1])
+            empty = (
+                raw.limit(0)
+                if raw is not None
+                else self.read().limit(0).withColumn(_OP_COL, F.lit(""))
+            )
+            empty = empty.withColumn(
                 "_commit_version", F.lit(0).cast("long")
             ).withColumn("_batch_id", F.lit(""))
+            drop = [c for c in (_BUCKET_COL,) if c in empty.columns]
+            return empty.drop(*drop)
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p, allowMissingColumns=True)
@@ -543,10 +559,17 @@ class LakeTable:
             lo, hi = a.get("ts_min"), a.get("ts_max")
             if lo is None or hi is None:
                 out.append(p)
-            elif (ts_to is None or lo < _iso(ts_to)) and (
-                ts_from is None or hi >= _iso(ts_from)
-            ):
-                out.append(p)
+            else:
+                # like read_key's _covers: incomparable stats (stored stats
+                # typed differently than the bound) never prune
+                try:
+                    keep = (ts_to is None or lo < _iso(ts_to)) and (
+                        ts_from is None or hi >= _iso(ts_from)
+                    )
+                except TypeError:
+                    keep = True
+                if keep:
+                    out.append(p)
         return sorted(out)
 
     # ---------------------------------------------------------------- merge

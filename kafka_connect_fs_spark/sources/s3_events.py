@@ -123,8 +123,11 @@ class S3EventNotificationsPolicy:
         self.stat_fn = stat_fn or _stat_uri
 
     def _in_bucket(self, record: S3EventRecord) -> bool:
-        # ref :121: fs.getWorkingDirectory().startsWith(uriPrefix + bucket)
-        return self.uri.startswith(f"{self.scheme}://{record.bucket}")
+        # ref :121 intent (fs.getWorkingDirectory().startsWith(uriPrefix +
+        # bucket)) but separator-aware: a policy on s3://my-bucket-2 must
+        # NOT accept events for bucket my-bucket (raw startswith would).
+        prefix = f"{self.scheme}://{record.bucket}"
+        return self.uri == prefix or self.uri.startswith(prefix + "/")
 
     def poll(self) -> list[FileMeta]:
         out: list[FileMeta] = []

@@ -625,3 +625,29 @@ def test_read_range_both_bounds(spark, mor_table):
     # half-open: from inclusive, to exclusive
     rows2 = {r.conv_id for r in t.read_range(ts_from=ts(500), ts_to=ts(2000)).collect()}
     assert rows2 == {"c2"}
+
+
+def test_files_in_range_incomparable_stats_never_prune(spark, mor_table):
+    """Numeric / mistyped bounds must degrade to reading the file (like
+    read_key's _covers), never crash or silently prune."""
+    t = mor_table
+    t.merge(edf(spark, [ev("c1", 0, "a", 0), ev("c2", 0, "b", 86400)]), "b1")
+    live, _, _ = t._state()
+    # int-epoch bounds are incomparable with the stored isoformat strings:
+    # every live file must survive, and nothing may raise
+    assert t.files_in_range(ts_from=0, ts_to=10**12) == sorted(live)
+    assert t.files_in_range(ts_from=0) == sorted(live)
+
+
+def test_read_changes_commit_version_long_on_both_paths(spark, mor_table):
+    """The empty and non-empty read_changes paths must agree on
+    _commit_version's type (long) so unions across calls don't clash."""
+    t = mor_table
+    c1 = t.merge(edf(spark, [ev("c1", 0, "a", 1)]), "b1")
+    nonempty = t.read_changes(-1)
+    empty = t.read_changes(c1.version)
+    tname = {f.name: f.dataType.simpleString() for f in nonempty.schema.fields}
+    tname_e = {f.name: f.dataType.simpleString() for f in empty.schema.fields}
+    assert tname["_commit_version"] == "bigint" == tname_e["_commit_version"]
+    # the union a CDF consumer would do must not raise
+    assert nonempty.unionByName(empty).count() == 1

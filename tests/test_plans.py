@@ -85,3 +85,18 @@ def test_mor_read_resolves_with_partial_aggregation(spark, tmp_path):
     assert "partial_max_by" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.index("partial_max_by") > plan.index("Exchange")  # below the shuffle
+
+
+def test_ngram_jaccard_explode_computed_once(spark):
+    """The r02 regression: the shingle explode fed three consumers (df cap,
+    sizes, postings) and recomputed 3x. The df cap is now a window over the
+    shingle shuffle, so AQE's exchange reuse collapses every consumer onto
+    ONE executed scan+explode; the sizes branch and the second size join
+    must show up as Reused nodes in the final adaptive plan."""
+    df = QUERIES["dedup_ngram_jaccard"](spark, SF_DIR)
+    df.collect()  # finalize the adaptive plan
+    plan = plan_of(df)
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1  # one executed scan of documents
+    assert final.count("ReusedExchange") >= 2  # shingle shuffle + size bcast

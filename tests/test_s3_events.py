@@ -165,3 +165,28 @@ def test_engine_ingests_from_event_discovery(spark, tmp_path):
     # queue drained + second pass is a no-op
     res2 = engine.run_once()
     assert res2.n_files == 0 and res2.n_events == 0
+
+
+def test_bucket_prefix_collision_rejected():
+    """A policy on s3://my-bucket-2 must NOT accept events for bucket
+    my-bucket (a raw startswith prefix match would): separator-aware
+    bucket comparison."""
+    q = FakeQueue(
+        [
+            s3_event_body("my-bucket", "stray.jsonl"),
+            s3_event_body("my-bucket-2", "mine.jsonl"),
+        ]
+    )
+    sizes = {
+        "s3://my-bucket/stray.jsonl": 5,
+        "s3://my-bucket-2/mine.jsonl": 5,
+    }
+    pol = S3EventNotificationsPolicy(
+        q, "s3://my-bucket-2/data", stat_fn=fake_stat(sizes)
+    )
+    got = pol.poll()
+    assert [f.path for f in got] == ["s3://my-bucket-2/mine.jsonl"]
+    # bare-bucket URI (no path component) still matches its own bucket
+    q2 = FakeQueue([s3_event_body("my-bucket-2", "mine.jsonl")])
+    pol2 = S3EventNotificationsPolicy(q2, "s3://my-bucket-2", stat_fn=fake_stat(sizes))
+    assert [f.path for f in pol2.poll()] == ["s3://my-bucket-2/mine.jsonl"]
