@@ -279,6 +279,24 @@ def _scan_one_range(
                 stream.seek(pos - 1)
                 skipped = stream.readline()  # partial line → previous split
                 pos = range_start - 1 + len(skipped)
+                # If the skipped line did NOT terminate within the listing
+                # snapshot, the OWNING (previous) split held it back as torn
+                # (clamp_truncated) — this split must claim NOTHING, or its
+                # OK marker (pos >= logical_end) would win the engine's
+                # max(_src_end) and commit past the held-back bytes,
+                # permanently skipping them. Terminated-in-snapshot means a
+                # newline at or before logical_end; a newline-less tail
+                # ending exactly at the snapshot is claimed by the owner
+                # split only under emit_final.
+                terminated = skipped.endswith(b"\n") and pos <= logical_end
+                final_claimed = (
+                    not skipped.endswith(b"\n") and pos == logical_end and emit_final
+                )
+                if not (terminated or final_claimed):
+                    yield _marker_row(
+                        path, start_offset, start_offset, LINE_NO_RANGE_PARTIAL
+                    )
+                    return
                 if pos >= min(range_end, logical_end):
                     yield _marker_row(path, range_start, pos, LINE_NO_RANGE_OK)
                     return
@@ -481,9 +499,27 @@ def parse_csv(
     opts = {"sep": sep, "mode": "PERMISSIVE"}
     opts.update(options or {})
     comment = opts.pop("comment", None)
-    if comment:
+    if comment and header:
+        # Univocity processes comments BEFORE header detection
+        # (UnivocityFileReader.java:53): the header is the first
+        # NON-comment line of a scan that started at byte 0. That needs a
+        # per-file window (comment+header files only — the common paths
+        # below stay windowless): flag fresh-scan files (some line at
+        # offset 0), filter comments, drop the first survivor.
+        from pyspark.sql import Window
+
+        wf = Window.partitionBy("_src_file")
+        wo = Window.partitionBy("_src_file").orderBy("_src_offset")
+        lines = (
+            lines.withColumn("_scan0", F.min("_src_offset").over(wf) == 0)
+            .filter(~F.col("value").startswith(comment))
+            .withColumn("_rn", F.row_number().over(wo))
+            .filter(~(F.col("_scan0") & (F.col("_rn") == 1)))
+            .drop("_scan0", "_rn")
+        )
+    elif comment:
         lines = lines.filter(~F.col("value").startswith(comment))
-    if header:
+    elif header:
         lines = lines.filter(~((F.col("_src_offset") == 0) & (F.col("_line_no") == 0)))
     parsed = lines.withColumn("_rec", F.from_csv(F.col("value"), schema.simpleString(), opts))
     return parsed.select("_src_file", "_src_offset", "_src_end", "_line_no", "_rec.*")

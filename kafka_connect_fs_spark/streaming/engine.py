@@ -272,24 +272,41 @@ class IngestEngine:
                     whole = [
                         w
                         for w in items
-                        if w.start_offset == 0
-                        and not _compressed(w.path)
-                        # a file can vanish between listing and read; the
-                        # native reader fails the whole batch on a missing
-                        # path, so drop it here (nothing is committed for
-                        # it — it simply isn't listed next trigger)
-                        and _still_exists(w.path)
+                        if w.start_offset == 0 and not _compressed(w.path)
                     ]
                     if whole:
-                        event_parts.append(
-                            read_line_format_native(
+                        # a file can vanish between listing and read; the
+                        # native reader fails PLANNING on a missing path.
+                        # Stat only on that failure (the listing already
+                        # stat'ed every file — a happy-path pre-check would
+                        # be a second full listing at 10^5 files/trigger),
+                        # drop the vanished ones, and let them fall through
+                        # to the Python scanner, which emits a FAILED
+                        # marker (offset not advanced; the file simply
+                        # isn't listed next trigger). A file vanishing
+                        # AFTER planning still fails the batch — retried.
+                        try:
+                            ev = read_line_format_native(
                                 self.spark, whole, fmt, cfg.schema, cfg.reader_options
                             )
-                        )
-                        native_paths.update(w.path for w in whole)
-                        items = [w for w in items if w.path not in native_paths]
-                        if not items:
-                            continue
+                        except Exception as e:
+                            if "PATH_NOT_FOUND" not in str(e):
+                                raise
+                            whole = [w for w in whole if _still_exists(w.path)]
+                            ev = (
+                                read_line_format_native(
+                                    self.spark, whole, fmt, cfg.schema,
+                                    cfg.reader_options,
+                                )
+                                if whole
+                                else None
+                            )
+                        if ev is not None:
+                            event_parts.append(ev)
+                            native_paths.update(w.path for w in whole)
+                            items = [w for w in items if w.path not in native_paths]
+                            if not items:
+                                continue
                 lines = read_lines(
                     self.spark,
                     items,

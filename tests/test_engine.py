@@ -682,3 +682,21 @@ def test_watermark_snapshot_retention_and_cache(spark, tmp_path):
 
     fresh = WatermarkStore(spark, str(tmp_path / "ckpt" / "watermarks"))
     assert fresh.load_dict() == d1 and fresh.last_seq() == engine.watermarks.last_seq()
+
+
+def test_no_driver_stats_on_happy_path(spark, tmp_path, monkeypatch):
+    """The listing already stat'ed every file: a batch where nothing
+    vanished must not re-stat files on the driver (at 10^5 files/trigger a
+    per-file pre-check is a second listing). _still_exists is reserved for
+    the native reader's planning-failure path."""
+    import kafka_connect_fs_spark.streaming.engine as E
+
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(5, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    calls = []
+    real = E._still_exists
+    monkeypatch.setattr(E, "_still_exists", lambda p: calls.append(p) or real(p))
+    r = engine.run_once()
+    assert r.rows_written == 10
+    assert calls == []

@@ -542,3 +542,60 @@ def test_crlf_line_endings(spark, tmp_path):
     assert rows[-1]._src_end == 15  # full file consumed incl. CRLFs
     out = parse_csv(read_lines(spark, work(str(p))), schema, header=True).collect()
     assert sorted((r.a, r.b) for r in out) == [(1, 2), (3, 4)]
+
+
+def test_torn_line_across_split_boundary_not_skipped(spark, tmp_path):
+    """A line that (a) straddles a split boundary and (b) grew past the
+    listing snapshot must be held back by its OWNING split, and the next
+    split's skip-ahead must not out-claim the hold-back with an OK marker
+    whose end jumps past the held-back bytes (max(_src_end) is what the
+    engine commits)."""
+    from kafka_connect_fs_spark.sources.readers import (
+        LINE_NO_RANGE_OK,
+        LINE_NO_RANGE_PARTIAL,
+    )
+
+    p = tmp_path / "grow.txt"
+    # on disk: "aaaa\n" + 14-byte torn tail (no newline, still growing)
+    p.write_bytes(b"aaaa\nbbbbbbbbbbcccc")
+    snap = 15  # listing-time snapshot, mid-tail
+    items = [WorkItem(str(p), 0, snap)]
+    # max_split_bytes=8 → splits [0,8) and [8,15); the tail straddles 8
+    out = read_lines(
+        spark, items, max_split_bytes=8, with_markers=True
+    ).collect()
+    records = [r for r in out if r._line_no >= 0]
+    assert [r.value for r in records] == ["aaaa"]  # torn tail never emitted
+    # committed offset = max(_src_end) must stay at the torn line's start
+    assert max(r._src_end for r in out) == 5
+    kinds = sorted(r._line_no for r in out if r._line_no < 0)
+    assert LINE_NO_RANGE_PARTIAL in kinds and LINE_NO_RANGE_OK not in kinds
+    # once the line is finished on disk and the snapshot covers it, the
+    # resume from offset 5 yields it exactly once
+    p.write_bytes(b"aaaa\nbbbbbbbbbbccccdd\n")
+    tail = read_lines(spark, [WorkItem(str(p), 5, 22)], max_split_bytes=8).collect()
+    assert [r.value for r in tail] == ["bbbbbbbbbbccccdd"]
+    assert tail[0]._src_offset == 5 and tail[0]._src_end == 22
+
+
+def test_csv_comment_before_header_still_drops_header(spark, tmp_path):
+    """Univocity processes comments BEFORE header detection: a file whose
+    first line is a comment must still have its header line skipped (the
+    header is the first NON-comment line), and a resumed tail read must
+    not lose its first data row."""
+    p = tmp_path / "ch.csv"
+    write_lines(p, ["# generated file", "a,b", "1,2", "# mid", "3,4"])
+    schema = T.StructType(
+        [T.StructField("a", T.IntegerType()), T.StructField("b", T.IntegerType())]
+    )
+    out = parse_csv(
+        read_lines(spark, work(str(p))), schema, header=True, options={"comment": "#"}
+    ).orderBy("_src_offset").collect()
+    assert [(r.a, r.b) for r in out] == [(1, 2), (3, 4)]
+    # resumed tail (scan not anchored at byte 0): nothing header-dropped
+    off = out[0]._src_offset  # byte where "1,2" starts
+    tail = parse_csv(
+        read_lines(spark, work(str(p), start=off)),
+        schema, header=True, options={"comment": "#"},
+    ).orderBy("_src_offset").collect()
+    assert [(r.a, r.b) for r in tail] == [(1, 2), (3, 4)]
