@@ -280,3 +280,51 @@ def avro_to_spark_schema(schema: dict):
     if not isinstance(st, T.StructType):
         raise ValueError("top-level avro schema must be a record")
     return st
+
+
+# --------------------------------------------------- schema resolution
+
+
+def _default_value(field: dict):
+    """Materialize a reader-field JSON default per the Avro spec: the
+    default is written in JSON against the field's type (first union
+    branch); bytes/fixed defaults are JSON strings of latin-1 codepoints."""
+    d = field["default"]
+    t = field["type"]
+    if isinstance(t, list):
+        t = t[0]  # union default targets the FIRST branch
+    tn = t if isinstance(t, str) else t.get("type")
+    if tn in ("bytes", "fixed") and isinstance(d, str):
+        return d.encode("latin-1")
+    return d
+
+
+def reader_defaults(writer_schema: dict, reader_schema: dict) -> dict:
+    """Avro schema resolution for records (the spec's 'Schema Resolution'
+    rules, the part GenericDatumReader(writer, reader) applies in
+    AvroFileReader.java:43-47): reader fields ABSENT from the writer take
+    their declared default; a missing field without a default is a
+    resolution error. Returns {field_name: default_value}."""
+    writer_names = {f["name"] for f in writer_schema.get("fields", [])}
+    out = {}
+    for f in reader_schema.get("fields", []):
+        if f["name"] in writer_names:
+            continue
+        if "default" not in f:
+            raise ValueError(
+                f"reader field {f['name']!r} absent from writer schema "
+                "and has no default (Avro schema-resolution error)"
+            )
+        out[f["name"]] = _default_value(f)
+    return out
+
+
+def resolve_records(records: list, writer_schema: dict, reader_schema: dict) -> list:
+    """Apply record-level resolution: inject reader defaults for fields the
+    writer lacks, drop writer-only fields the reader doesn't declare."""
+    defaults = reader_defaults(writer_schema, reader_schema)
+    keep = [f["name"] for f in reader_schema.get("fields", [])]
+    return [
+        {name: (r[name] if name in r else defaults[name]) for name in keep}
+        for r in records
+    ]

@@ -155,6 +155,7 @@ def read_lines(
     arrow_batch_rows: int = 10_000,
     with_markers: bool = False,
     rows_to_skip: int = 0,
+    max_records_per_file: int = 0,
 ) -> DataFrame:
     """Distributed byte-range line scan → DataFrame of raw lines + lineage.
 
@@ -167,6 +168,13 @@ def read_lines(
     NULL) so a caller tracking resume offsets can detect failed ranges and
     refuse to commit past them (the engine does).
     """
+    if max_records_per_file:
+        # record-cap semantics are per FILE per trigger
+        # (file_reader.batch_size, AbstractFileReader.java:76-86): one
+        # range per file so split-level caps can't multiply to N x splits.
+        # The cap already bounds per-task work, so losing intra-file
+        # splits costs nothing.
+        max_split_bytes = 1 << 60
     rows = plan_line_splits(items, max_split_bytes)
     if not rows:
         return spark.createDataFrame([], LINE_SCHEMA)
@@ -186,6 +194,7 @@ def read_lines(
                         emit_unterminated_final_line,
                         arrow_batch_rows,
                         rows_to_skip,
+                        max_records_per_file,
                     )
                     # success markers (OK / PARTIAL, with the consumed end
                     # position) are emitted inside _scan_one_range; the
@@ -239,6 +248,7 @@ def _scan_one_range(
     emit_final: bool,
     batch_rows: int,
     rows_to_skip: int = 0,
+    max_records: int = 0,
 ) -> Iterator[pd.DataFrame]:
     """Vectorized range scan: ONE read, ONE bytes.split, numpy cumsum for
     offsets — no per-line Python loop (the reference's readLine() iterator,
@@ -302,8 +312,25 @@ def _scan_one_range(
                     return
             else:
                 stream.seek(pos)
-            buf = stream.read(min(range_end, logical_end) - pos)
-            if buf and not buf.endswith(b"\n"):
+            limit = min(range_end, logical_end) - pos
+            if max_records:
+                # bounded read (file_reader.batch_size): pull chunks only
+                # until the cap's worth of complete lines is present — a
+                # 100-record poll of a 10 GB file must not read 10 GB
+                need = max_records + (rows_to_skip if range_start == 0 else 0)
+                chunks, seen, remaining = [], 0, limit
+                while remaining > 0 and seen <= need:
+                    chunk = stream.read(min(1 << 20, remaining))
+                    if not chunk:
+                        break
+                    chunks.append(chunk)
+                    remaining -= len(chunk)
+                    seen += chunk.count(b"\n")
+                buf = b"".join(chunks)
+            else:
+                buf = stream.read(limit)
+            full_read = pos + len(buf) >= min(range_end, logical_end)
+            if buf and not buf.endswith(b"\n") and full_read:
                 # finish the straddling last line (clamped to the snapshot)
                 extra = stream.readline()
                 if extra:
@@ -368,8 +395,15 @@ def _scan_one_range(
             )
             return
 
-    for lo in range(emit_from, len(parts), batch_rows):
-        hi = min(lo + batch_rows, len(parts))
+    emit_to = len(parts)
+    if max_records and emit_to - emit_from > max_records:
+        # record cap: admit exactly max_records lines; the PARTIAL marker
+        # pins the committed offset at the last admitted line's end so the
+        # next trigger resumes there (no loss, no duplication)
+        emit_to = emit_from + max_records
+
+    for lo in range(emit_from, emit_to, batch_rows):
+        hi = min(lo + batch_rows, emit_to)
         vals = pd.Series(tparts[lo:hi], dtype=object).str.rstrip("\r")
         yield pd.DataFrame(
             {
@@ -381,12 +415,14 @@ def _scan_one_range(
             }
         )
 
-    consumed_end = int(ends[-1])
+    consumed_end = int(ends[emit_to - 1])
     yield _marker_row(
         path,
         range_start,
         consumed_end,
-        LINE_NO_RANGE_PARTIAL if held_back else LINE_NO_RANGE_OK,
+        LINE_NO_RANGE_PARTIAL
+        if (held_back or emit_to < len(parts))
+        else LINE_NO_RANGE_OK,
     )
 
 
@@ -797,6 +833,7 @@ def read_avro_python(
     items: list[WorkItem],
     schema: T.StructType | None = None,
     columns: list[str] | None = None,
+    reader_schema: dict | str | None = None,
 ) -> DataFrame:
     """Avro container scan WITHOUT the spark-avro jar: Arrow-batched Python
     decode of the container blocks (sources/avro_io.py — the public spec),
@@ -804,20 +841,31 @@ def read_avro_python(
     native `avro` datasource (read_columnar tries it first); this fallback
     makes the Avro capability real — executable and tested — everywhere.
     AvroFileReader parity incl. the reader-schema projection: pass
-    ``schema``/``columns`` to project/null-fill against the writer schema
-    (AvroFileReader.java:24,43-47)."""
+    ``schema``/``columns`` to project/null-fill against the writer schema,
+    or ``reader_schema`` (an Avro schema dict / JSON string) for FULL
+    schema-resolution semantics — reader fields absent from a file's
+    writer schema take their declared Avro DEFAULT, per file, exactly like
+    GenericDatumReader(writer, reader) (AvroFileReader.java:24,43-47)."""
     from kafka_connect_fs_spark.sources.avro_io import (
         avro_to_spark_schema,
         parse_container,
+        resolve_records,
     )
 
+    if isinstance(reader_schema, str):
+        reader_schema = json.loads(reader_schema)
     if not items:
-        base = schema or T.StructType([])
+        base = schema or (
+            avro_to_spark_schema(reader_schema) if reader_schema else T.StructType([])
+        )
         return spark.createDataFrame([], _with_lineage(base))
     if schema is None:
-        with _open_raw(items[0].path) as f:
-            writer_schema, _ = parse_container(f.read())
-        schema = avro_to_spark_schema(writer_schema)
+        if reader_schema is not None:
+            schema = avro_to_spark_schema(reader_schema)
+        else:
+            with _open_raw(items[0].path) as f:
+                writer_schema, _ = parse_container(f.read())
+            schema = avro_to_spark_schema(writer_schema)
 
     files_df = read_whole_files(spark, items)
 
@@ -836,7 +884,12 @@ def read_avro_python(
         for pdf in batches:
             rows = []
             for src, content in zip(pdf["_src_file"], pdf["content"]):
-                _, records = parse_container(bytes(content))
+                writer_schema, records = parse_container(bytes(content))
+                if reader_schema is not None:
+                    # per-file resolution: defaults apply against THIS
+                    # file's writer schema (mixed-generation directories
+                    # resolve file-by-file, like the reference's reader)
+                    records = resolve_records(records, writer_schema, reader_schema)
                 for i, rec in enumerate(records):
                     rows.append((src, 0, len(content), i, json.dumps(jsonable(rec))))
             if rows:
@@ -868,7 +921,13 @@ def read_columnar(
     pure-Python container reader when the spark-avro jar is absent.
     """
     if fmt == "avro" and not avro_available(spark):
-        return read_avro_python(spark, items, schema=schema, columns=columns)
+        return read_avro_python(
+            spark,
+            items,
+            schema=schema,
+            columns=columns,
+            reader_schema=(options or {}).get("avroSchema"),
+        )
     paths = [w.path for w in items]
     if not paths:
         base = schema or T.StructType([])

@@ -103,6 +103,13 @@ class IngestConfig:
     files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
     bytes_per_trigger: int = 0  # 0 = unlimited (file_reader.batch_size /
     # maxBytesPerTrigger analog: caps the tail bytes admitted per batch)
+    # record-level parity with file_reader.batch_size
+    # (AbstractFileReader.java:76-86): at most N lines admitted per FILE
+    # per trigger; the scanner's PARTIAL marker pins the committed offset
+    # at the last admitted line so the file drains across triggers with no
+    # loss or duplication. Implies the offset-aware scanner (no JVM
+    # whole-file fast path) for line formats.
+    records_per_file_per_trigger: int = 0
     cleanup: str = "none"  # none | move | delete (AbstractPolicy.java:45-47)
     cleanup_move_dir: str | None = None
     emit_unterminated_final_line: bool = True
@@ -265,7 +272,13 @@ class IngestEngine:
         rows_to_skip = int(cfg.reader_options.get("rows_to_skip", 0))
         # preamble skipping needs the offset-aware scanner (Spark's native
         # csv/json sources cannot skip N leading lines)
-        jvm_fast = cfg.reader_options.get("jvm_fast_path", True) and not rows_to_skip
+        jvm_fast = (
+            cfg.reader_options.get("jvm_fast_path", True)
+            and not rows_to_skip
+            # a record cap needs the offset-aware scanner: the native
+            # reader always consumes whole files
+            and not cfg.records_per_file_per_trigger
+        )
         for fmt, items in groups.items():
             if fmt in LINE_FORMATS:
                 if jvm_fast and fmt in NATIVE_LINE_FORMATS:
@@ -315,6 +328,7 @@ class IngestEngine:
                     max_split_bytes=cfg.max_split_bytes,
                     with_markers=True,
                     rows_to_skip=rows_to_skip,
+                    max_records_per_file=cfg.records_per_file_per_trigger,
                 )
                 lines = lines.persist()
                 lines_parts.append(lines)

@@ -150,3 +150,55 @@ def test_engine_ingests_avro_files_end_to_end(spark, tmp_path):
     assert eng.run_once().n_events == 1
     got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
     assert got == {("c1", 0): "hi", ("c1", 1): "yo", ("c2", 0): "new"}
+
+
+def test_reader_schema_defaults_materialize(spark, tmp_path):
+    """Avro schema resolution (AvroFileReader.java:43-47): a reader field
+    missing from the writer schema takes its declared DEFAULT (not a bare
+    null-fill), per file; writer-only fields are dropped; a missing field
+    without a default is a resolution error."""
+    import json as _json
+
+    from kafka_connect_fs_spark.sources.avro_io import reader_defaults
+
+    p = str(tmp_path / "old.avro")
+    write_container(p, SCHEMA, recs(6))
+    reader = {
+        "type": "record",
+        "name": "Turn",
+        "fields": [
+            {"name": "conv_id", "type": "string"},
+            {"name": "turn_idx", "type": "int"},
+            {"name": "quality", "type": "int", "default": 42},
+            {"name": "note", "type": ["null", "string"], "default": None},
+        ],
+    }
+    df = read_avro_python(
+        spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=reader
+    )
+    rows = df.orderBy("turn_idx").collect()
+    assert len(rows) == 6
+    assert all(r.quality == 42 and r.note is None for r in rows)
+    assert "score" not in df.columns  # writer-only field dropped
+    # JSON-string form (what the native avroSchema option carries) works too
+    df2 = read_avro_python(
+        spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=_json.dumps(reader)
+    )
+    assert df2.orderBy("turn_idx").collect()[0].quality == 42
+    # resolution error: absent field with no default
+    bad = {
+        "type": "record",
+        "name": "Turn",
+        "fields": [{"name": "nope", "type": "int"}],
+    }
+    with pytest.raises(Exception, match="no default"):
+        read_avro_python(
+            spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=bad
+        ).collect()
+    # bytes default decodes latin-1 per the spec
+    wd = reader_defaults(
+        {"fields": [{"name": "a", "type": "string"}]},
+        {"fields": [{"name": "a", "type": "string"},
+                    {"name": "raw", "type": "bytes", "default": "ab"}]},
+    )
+    assert wd == {"raw": b"ab"}

@@ -700,3 +700,28 @@ def test_no_driver_stats_on_happy_path(spark, tmp_path, monkeypatch):
     r = engine.run_once()
     assert r.rows_written == 10
     assert calls == []
+
+
+def test_records_per_file_per_trigger_drains_without_loss(spark, tmp_path):
+    """file_reader.batch_size parity (AbstractFileReader.java:76-86): a
+    1,000-line file with a 100-record cap drains in exactly 10 triggers,
+    offsets advance monotonically each trigger, and the final table equals
+    the full-replay oracle (no loss, no duplication)."""
+    engine = make_engine(
+        spark, tmp_path, records_per_file_per_trigger=100, n_buckets=2
+    )
+    rows = transcript_change_events(100, 10)  # 1000 events, one per line
+    assert len(rows) == 1000
+    path = str(tmp_path / "src" / "big.jsonl")
+    write_jsonl(rows, path)
+    offsets, total = [], 0
+    for trigger in range(10):
+        r = engine.run_once()
+        assert r.n_events == 100, (trigger, r.n_events)
+        total += r.n_events
+        wm = {w.path: w for w in engine.watermarks.load().collect()}[path]
+        offsets.append(wm.committed_offset)
+        assert wm.eof is (trigger == 9)
+    assert offsets == sorted(offsets) and len(set(offsets)) == 10
+    assert engine.run_once().n_events == 0  # drained
+    assert_matches_oracle(engine, rows)
