@@ -111,18 +111,21 @@ class Cron:
 
 
 class FileWatcherPolicy(SleepyPolicy):
-    """Push-style discovery modeled as a fast listing-diff poll.
+    """Push-style discovery modeled as a fast listing-diff poll — the
+    FALLBACK cadence when the true inotify stream is unavailable.
 
     The reference's HdfsFileWatcherPolicy (policy/HdfsFileWatcherPolicy.java)
     consumes HDFS inotify events into a queue, deduped by path keeping the
-    latest metadata (:88-97). PySpark has no inotify surface; the engine's
-    per-trigger listing diff against the watermark table gives the same
-    observable semantics (CREATE → new file at offset 0, APPEND → size >
-    committed offset ⇒ tail the delta, RENAME/CLOSE → new path), so this
-    policy is a tight-interval SleepyPolicy — the dedup-keep-latest is
-    inherent in listing the live filesystem state. On clusters with S3
-    event notifications (S3EventNotificationsPolicy.java), the event queue
-    would *narrow* the listing, not change the semantics.
+    latest metadata (:88-97). The true O(events) push path lives in
+    sources/hdfs_inotify.py (``HdfsInotifyPolicy.try_create`` reaches
+    ``HdfsAdmin#getInotifyEventStream`` through the py4j gateway; wire its
+    instance as ``IngestConfig.discovery_fn`` and list_files never runs).
+    Where that probe fails (non-HDFS FS, missing inotify rights), THIS
+    policy's per-trigger listing diff against the watermark table gives
+    the same observable semantics (CREATE → new file at offset 0, APPEND
+    → size > committed offset ⇒ tail the delta, RENAME/CLOSE → new path)
+    at O(objects listed) cost — the dedup-keep-latest is inherent in
+    listing the live filesystem state.
     """
 
     def __init__(self, poll_s: float = 0.2, max_execs: int = -1):

@@ -1,0 +1,197 @@
+"""HDFS inotify push discovery — mocked-event-stream tests mirroring the
+reference's HdfsFileWatcherPolicyTest: the event-type switch (CREATE /
+APPEND / CLOSE / RENAME-from-._COPYING_), temp-file skip, dedup keep-
+latest, vanished files, regex filtering, and an end-to-end IngestEngine
+run whose discovery is driven purely by events — zero list_files calls."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from kafka_connect_fs_spark.sources.discovery import FileMeta
+from kafka_connect_fs_spark.sources.hdfs_inotify import (
+    HdfsInotifyPolicy,
+    InotifyEvent,
+)
+
+
+class FakeStream:
+    """Non-blocking poll() over pre-loaded batches (DFSInotifyEventInput
+    Stream.poll contract: batch or None)."""
+
+    def __init__(self, batches):
+        self.batches = list(batches)
+
+    def poll(self):
+        return self.batches.pop(0) if self.batches else None
+
+    def push(self, batch):
+        self.batches.append(batch)
+
+
+def fake_stat(sizes: dict):
+    def stat(uri):
+        if uri not in sizes:
+            return None
+        return FileMeta(uri, sizes[uri], 1.0)
+
+    return stat
+
+
+def test_event_switch_matches_reference():
+    """HdfsFileWatcherPolicy.java:144-170: CREATE/APPEND/CLOSE enqueue
+    unless ._COPYING_; RENAME enqueues dst only when src is ._COPYING_;
+    other event types are ignored."""
+    stream = FakeStream(
+        [
+            [
+                InotifyEvent("CREATE", path="/data/a.jsonl"),
+                InotifyEvent("CREATE", path="/data/b.jsonl._COPYING_"),
+                InotifyEvent("APPEND", path="/data/c.jsonl"),
+                InotifyEvent("APPEND", path="/data/tmp._COPYING_"),
+                InotifyEvent("CLOSE", path="/data/d.jsonl"),
+                InotifyEvent(
+                    "RENAME",
+                    src_path="/data/e.jsonl._COPYING_",
+                    dst_path="/data/e.jsonl",
+                ),
+                InotifyEvent(
+                    "RENAME", src_path="/data/x.jsonl", dst_path="/data/y.jsonl"
+                ),
+                InotifyEvent("UNLINK", path="/data/a.jsonl"),
+                InotifyEvent("METADATA", path="/data/a.jsonl"),
+            ]
+        ]
+    )
+    sizes = {
+        f"hdfs://nn:8020/data/{n}.jsonl": 10 for n in ("a", "c", "d", "e", "y")
+    }
+    pol = HdfsInotifyPolicy(stream, "hdfs://nn:8020/data", stat_fn=fake_stat(sizes))
+    got = sorted(f.path for f in pol.poll())
+    assert got == [
+        "hdfs://nn:8020/data/a.jsonl",
+        "hdfs://nn:8020/data/c.jsonl",
+        "hdfs://nn:8020/data/d.jsonl",
+        "hdfs://nn:8020/data/e.jsonl",
+    ]
+    assert pol.poll() == []  # drained
+
+
+def test_dedup_keeps_latest_and_regex_find_and_vanished():
+    """Dedup by path keeps the LATEST metadata (:88-97); regex is
+    Matcher.find() on the file NAME; events for vanished files are
+    skipped (:190-196)."""
+    sizes = {"hdfs://nn/data/a.jsonl": 10}
+    stream = FakeStream(
+        [
+            [InotifyEvent("CREATE", path="/data/a.jsonl")],
+            [InotifyEvent("APPEND", path="/data/a.jsonl")],
+            [InotifyEvent("CREATE", path="/data/skip.txt")],
+            [InotifyEvent("CREATE", path="/data/gone.jsonl")],
+        ]
+    )
+    calls = []
+
+    def stat(uri):
+        calls.append(uri)
+        if "gone" in uri:
+            return None
+        # second stat sees the appended size
+        return FileMeta(uri, 10 if len(calls) == 1 else 25, 1.0)
+
+    pol = HdfsInotifyPolicy(
+        stream, "hdfs://nn/data", regexp=r"\.jsonl$", stat_fn=stat
+    )
+    got = pol.poll()
+    assert len(got) == 1 and got[0].length == 25  # keep-latest
+    assert all("skip.txt" not in c for c in calls)  # regex pre-stat
+
+
+def test_try_create_falls_back_without_hdfs(spark):
+    """Probe path: non-hdfs URIs (and this sandbox's jar-only HDFS) yield
+    None so callers fall back to the listing-diff policy; the JVM classes
+    themselves are present in pyspark's bundled hadoop-client."""
+    assert HdfsInotifyPolicy.try_create(spark, "file:///tmp") is None
+    cls = spark._jvm.java.lang.Class.forName(
+        "org.apache.hadoop.hdfs.client.HdfsAdmin"
+    )
+    assert cls is not None  # the py4j route exists on a real cluster
+
+
+def test_engine_discovery_purely_from_events(spark, tmp_path, monkeypatch):
+    """End-to-end: IngestEngine discovers files ONLY from the inotify
+    stream — list_files must never run. Appends arrive as APPEND events
+    and only the tail is ingested."""
+    import kafka_connect_fs_spark.streaming.engine as E
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    src = tmp_path / "data"
+    os.makedirs(src)
+
+    def boom(*a, **kw):
+        raise AssertionError("list_files must not be called with push discovery")
+
+    monkeypatch.setattr(E, "list_files", boom)
+
+    def write(name, rows, mode="w"):
+        p = src / name
+        with open(p, mode) as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        return str(p)
+
+    def ev(i, text):
+        return {
+            "conv_id": "c0",
+            "turn_idx": i,
+            "role": "user",
+            "text": text,
+            "tool": None,
+            "ts": f"2024-01-01T00:00:{i:02d}",
+        }
+
+    p1 = write("a.jsonl", [ev(0, "t0"), ev(1, "t1")])
+    stream = FakeStream([[InotifyEvent("CLOSE", path=p1)]])
+
+    def stat(uri):
+        local = uri[len("file://"):] if uri.startswith("file://") else uri
+        if not os.path.exists(local):
+            return None
+        st = os.stat(local)
+        return FileMeta(uri, st.st_size, st.st_mtime)
+
+    pol = HdfsInotifyPolicy(stream, str(src), stat_fn=stat)
+
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    eng = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(src)],
+            table_root=str(tmp_path / "table"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            schema=schema,
+            fmt="jsonl",
+            n_buckets=2,
+            discovery_fn=pol,
+        ),
+    )
+    assert eng.run_once().n_events == 2
+    assert eng.run_once().n_events == 0  # no events → no work, no listing
+    # append → APPEND event → only the tail ingests
+    write("a.jsonl", [ev(2, "t2")], mode="a")
+    stream.push([InotifyEvent("APPEND", path=p1)])
+    assert eng.run_once().n_events == 1
+    got = {r.turn_idx: r.text for r in eng.lake.read().collect()}
+    assert got == {0: "t0", 1: "t1", 2: "t2"}
