@@ -1121,6 +1121,72 @@ FROM events WHERE event_id < 2000
 """
 
 
+_COBOL_EV_CPY = """
+       01  EV.
+           05  EVENT-ID    PIC 9(10).
+           05  USER-ID     PIC S9(8).
+           05  EVENT-TYPE  PIC X(16).
+           05  VALUE-BP    PIC S9(13) COMP-3.
+           05  TS-S        PIC X(19).
+"""
+
+
+def q_cobol_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mainframe capability end-to-end: synthesize an EBCDIC fixed-length
+    dump from an events slice (copybook.encode_records — zoned decimal
+    with sign overpunch, COMP-3 packed decimal, cp037 text), scan it back
+    through the distributed CobolFileReader (record-boundary splits,
+    numpy-vectorized decode, collapse_root schema policy) and hash-match
+    the original rows. Parity target: the reference's Cobrix-backed
+    CobolFileReader (CobolFileReader.java:100-176), re-expressed as a
+    mapInPandas scan instead of a single-threaded iterator."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.sources.cobol import read_cobol
+    from kafka_connect_fs_spark.sources.copybook import encode_records, parse_copybook
+    from kafka_connect_fs_spark.sources.readers import WorkItem
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select(
+            "event_id", "user_id", "event_type",
+            F.round(F.col("value") * 10000).cast("long").alias("value_bp"),
+            F.date_format(F.col("ts").cast("timestamp"), TS_FMT_SPARK).alias("ts_s"),
+        )
+        .collect()  # bounded slice: file synthesis only, not the scan path
+    )
+    root = parse_copybook(_COBOL_EV_CPY)
+    base = tempfile.mkdtemp(prefix="kcfs_cobol_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "events.dt")
+    with open(path, "wb") as f:
+        f.write(encode_records([r.asDict() for r in e], root))
+    df = read_cobol(
+        spark,
+        [WorkItem(path, 0, os.path.getsize(path))],
+        {"copybook_content": _COBOL_EV_CPY, "schema_policy": "collapse_root",
+         "input_split_size_mb": 0},  # force multi-split: the distributed plan
+    )
+    return df.select(
+        F.col("EVENT_ID").alias("event_id"),
+        F.col("USER_ID").cast("long").alias("user_id"),
+        F.col("EVENT_TYPE").alias("event_type"),
+        F.col("VALUE_BP").alias("value_bp"),
+        F.col("TS_S").alias("ts_s"),
+    )
+
+
+SQL_COBOL_INGEST_ROUNDTRIP = f"""
+SELECT event_id, user_id, event_type,
+       CAST(round(value * 10000, 0) AS BIGINT) AS value_bp,
+       strftime(ts, '{TS_FMT_DUCK}') AS ts_s
+FROM events WHERE event_id < 2000
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1132,6 +1198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_read_range": q_lake_read_range,
     "lake_schema_evolution": q_lake_schema_evolution,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
+    "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "region_revenue_rollup": q_region_revenue_rollup,
@@ -1169,6 +1236,7 @@ ORACLES: dict[str, str] = {
     "lake_read_range": SQL_LAKE_READ_RANGE,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
+    "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,
     "q1_pricing_summary": SQL_Q1,
     "q3_top_revenue": SQL_Q3,
     "region_revenue_rollup": SQL_REGION_ROLLUP,

@@ -1,0 +1,277 @@
+"""CobolFileReader: distributed mainframe-file ingestion on Spark.
+
+Parity target: the reference's Cobrix-backed CobolFileReader
+(CobolFileReader.java:100-176 — copybook from content or path, EBCDIC or
+ASCII data, fixed-length or RDW record sequences, keep_original /
+collapse_root schema policies, string trimming, raw debug fields) with
+the copybook/decoding rules implemented in ``copybook.py``.
+
+Spark-first design, not a port of the reference's record-at-a-time
+iterator: file byte-ranges are planned on the driver (fixed-length files
+split at record boundaries like a block-aligned InputFormat, so one
+100 GB dump fans out across the cluster; RDW files parallelize per file
+since the framing is sequential), decoded in executors with
+numpy-vectorized ``mapInPandas`` into FLAT Arrow columns, and the nested
+COBOL group structure (structs + OCCURS arrays) is reassembled JVM-side
+with ``F.struct``/``F.array`` — so the Python boundary moves plain typed
+columns, never Python objects per record.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .copybook import (
+    CopybookError,
+    Field,
+    Leaf,
+    decode_records,
+    flatten,
+    parse_copybook,
+    spark_type_for,
+)
+from .readers import WorkItem, _open_raw, register_reader
+
+__all__ = ["read_cobol", "CobolOptions"]
+
+_SPARK_T = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+}
+
+_CODE_PAGES = {"common": "cp037", "common_extended": "cp037", "cp037": "cp037",
+               "cp500": "cp500", "cp875": "cp875", "cp1140": "cp1140"}
+
+
+class CobolOptions:
+    """Normalized reader options (reference config keys sans the
+    ``file_reader.cobol.`` prefix, CobolFileReader.java:47-92)."""
+
+    def __init__(self, options: dict | None):
+        o = options or {}
+        self.copybook_content = o.get("copybook_content")
+        self.copybook_path = o.get("copybook_path")
+        self.is_ebcdic = _bool(o.get("is_ebcdic", True))
+        self.code_page = _CODE_PAGES.get(
+            str(o.get("ebcdic_code_page", "common")).lower(),
+            str(o.get("ebcdic_code_page", "cp037")),
+        )
+        self.is_record_sequence = _bool(o.get("is_record_sequence", False))
+        self.is_rdw_big_endian = _bool(o.get("is_rdw_big_endian", False))
+        self.rdw_adjustment = int(o.get("rdw_adjustment", 0))
+        self.record_length = o.get("record_length")
+        self.schema_policy = str(o.get("schema_policy", "keep_original"))
+        self.trim = str(o.get("string_trimming_policy", "both"))
+        self.float_format = str(o.get("floating_point_format", "ibm"))
+        self.debug = str(o.get("debug_fields_policy", "none")) == "raw"
+        self.split_size_mb = int(o.get("input_split_size_mb", 64))
+
+
+def _bool(v) -> bool:
+    if isinstance(v, str):
+        return v.lower() == "true"
+    return bool(v)
+
+
+def _load_copybook(opts: CobolOptions) -> str:
+    if opts.copybook_path:
+        try:
+            with _open_raw(opts.copybook_path) as f:
+                return f.read().decode("utf-8")
+        except (OSError, FileNotFoundError) as e:
+            raise CopybookError(f"Cannot read Copybook file: {opts.copybook_path}") from e
+    if opts.copybook_content and opts.copybook_content.strip():
+        return opts.copybook_content
+    raise CopybookError("Copybook is not specified.")
+
+
+def read_cobol(
+    spark: SparkSession, items: list[WorkItem], options: dict | None = None
+) -> DataFrame:
+    """Read mainframe files described by a COBOL copybook into a typed,
+    nested DataFrame with ``_src_file``/``_src_offset`` lineage."""
+    opts = CobolOptions(options)
+    root = parse_copybook(_load_copybook(opts))
+    lrecl = int(opts.record_length) if opts.record_length else max(
+        c.offset + c.extent for c in root.children
+    )
+    leaves = flatten(root)
+
+    flat_fields = []
+    for leaf in leaves:
+        flat_fields.append(T.StructField(leaf.flat, _SPARK_T[spark_type_for(leaf.f)]))
+        if opts.debug:
+            flat_fields.append(T.StructField(leaf.flat + "__debug", T.StringType()))
+    flat_schema = T.StructType(
+        flat_fields
+        + [
+            T.StructField("_src_file", T.StringType(), False),
+            T.StructField("_src_offset", T.LongType(), False),
+        ]
+    )
+
+    tasks = _plan_tasks(items, lrecl, opts)
+    if not tasks:
+        flat_df = spark.createDataFrame([], flat_schema)
+        return _assemble(flat_df, root, opts)
+
+    task_schema = "path string, start long, end long"
+    tasks_df = spark.createDataFrame(tasks, task_schema).repartition(
+        min(len(tasks), spark.sparkContext.defaultParallelism)
+    )
+
+    # bind plain values (not self) into the executor closure
+    ebcdic, code_page, trim = opts.is_ebcdic, opts.code_page, opts.trim
+    float_format, debug = opts.float_format, opts.debug
+    rdw, rdw_be, rdw_adj = opts.is_record_sequence, opts.is_rdw_big_endian, opts.rdw_adjustment
+    col_order = [f.name for f in flat_schema.fields]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from kafka_connect_fs_spark.sources.copybook import ebcdic_to_ascii_table
+
+        e2a = ebcdic_to_ascii_table(code_page)
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                path, start, end = row.path, int(row.start), int(row.end)
+                with _open_raw(path) as f:
+                    if hasattr(f, "seek"):
+                        f.seek(start)
+                    raw = f.read(end - start)
+                if rdw:
+                    recs, offsets = _frame_rdw(raw, lrecl, rdw_be, rdw_adj, base=start)
+                else:
+                    n = len(raw) // lrecl
+                    recs = raw[: n * lrecl]
+                    offsets = [start + i * lrecl for i in range(n)]
+                if not offsets:
+                    continue
+                m = np.frombuffer(recs, dtype=np.uint8).reshape(len(offsets), lrecl)
+                out = decode_records(
+                    m,
+                    leaves,
+                    ebcdic=ebcdic,
+                    trim=trim,
+                    floating_point_format=float_format,
+                    debug=debug,
+                    e2a=e2a,
+                )
+                out["_src_file"] = path
+                out["_src_offset"] = pd.Series(offsets, dtype="int64")
+                yield out[col_order]
+
+    flat_df = tasks_df.mapInPandas(decode, schema=flat_schema)
+    return _assemble(flat_df, root, opts)
+
+
+def _frame_rdw(
+    raw: bytes, lrecl: int, big_endian: bool, adjustment: int, base: int
+) -> tuple[bytes, list[int]]:
+    """Split an RDW-framed byte run (4-byte record descriptor word per
+    record; length is the 16-bit big-endian word at bytes 0-1 or the
+    little-endian word at bytes 2-3 — the layout observed in the
+    reference's own Cobrix fixtures) into fixed lrecl records, padding or
+    truncating each payload to the copybook length."""
+    recs = bytearray()
+    offsets: list[int] = []
+    pos = 0
+    while pos + 4 <= len(raw):
+        if big_endian:
+            ln = int.from_bytes(raw[pos : pos + 2], "big")
+        else:
+            ln = int.from_bytes(raw[pos + 2 : pos + 4], "little")
+        ln += adjustment
+        if ln <= 0:
+            break
+        payload = raw[pos + 4 : pos + 4 + ln]
+        if len(payload) < ln:
+            break  # torn trailing record: claim nothing past it
+        recs += payload[:lrecl].ljust(lrecl, b"\x00")
+        offsets.append(base + pos)
+        pos += 4 + ln
+    return bytes(recs), offsets
+
+
+def _plan_tasks(
+    items: list[WorkItem], lrecl: int, opts: CobolOptions
+) -> list[tuple[str, int, int]]:
+    tasks = []
+    chunk = max(opts.split_size_mb * 1024 * 1024 // lrecl, 1) * lrecl
+    for w in items:
+        if w.snap_length <= 0:
+            continue
+        if opts.is_record_sequence:
+            tasks.append((w.path, 0, w.snap_length))
+            continue
+        # Resume on a record boundary, rounding DOWN: the engine commits the
+        # full snapshot length for whole-file formats, so after an append
+        # that tore a record the committed offset can sit mid-record; the
+        # torn record was never emitted (end rounds down below), so
+        # re-reading from its start loses nothing and duplicates nothing.
+        start = (w.start_offset // lrecl) * lrecl
+        end = (w.snap_length // lrecl) * lrecl  # ignore torn tail bytes
+        pos = start
+        while pos < end:
+            tasks.append((w.path, pos, min(pos + chunk, end)))
+            pos += chunk
+    return tasks
+
+
+def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
+    """Rebuild the copybook's nested structure from flat decoded columns
+    (keep_original: one struct column per 01-level record; collapse_root:
+    the first record's children become top-level columns —
+    CobolFileReader.java:extractSchema)."""
+
+    def leaf_cols(f: Field, flat: str, out: list):
+        out.append(F.col(flat).alias(f.name))
+        if opts.debug:
+            out.append(F.col(flat + "__debug").alias(f.name + "_debug"))
+
+    def build(f: Field, prefix: str) -> list:
+        """Columns for field f (1 normally, 2 with debug on leaves)."""
+        reps = range(f.occurs) if f.occurs else (None,)
+        per_rep = []
+        for idx in reps:
+            token = f.name.lower() if idx is None else f"{f.name.lower()}_{idx}"
+            path = f"{prefix}__{token}" if prefix else token
+            if f.is_group:
+                inner = []
+                for c in f.children:
+                    inner.extend(build(c, path))
+                per_rep.append(F.struct(*inner))
+            else:
+                cols: list = []
+                leaf_cols(f, path, cols)
+                per_rep.append(cols)
+        if f.occurs:
+            if f.is_group:
+                return [F.array(*per_rep).alias(f.name)]
+            return [F.array(*[c[0] for c in per_rep]).alias(f.name)]
+        if f.is_group:
+            return [per_rep[0].alias(f.name)]
+        return per_rep[0]
+
+    lineage = [F.col("_src_file"), F.col("_src_offset")]
+    if opts.schema_policy == "collapse_root":
+        top = root.children[0]
+        cols = []
+        for c in top.children:
+            cols.extend(build(c, top.name.lower()))
+        return flat_df.select(*cols, *lineage)
+    cols = []
+    for c in root.children:
+        cols.extend(build(c, ""))
+    return flat_df.select(*cols, *lineage)
+
+
+register_reader("cobol", read_cobol)

@@ -1053,6 +1053,12 @@ EXTENSION_FORMATS = {
     "yaml": "yaml",
     "yml": "yaml",
     "dat": "fixedwidth",
+    # the reference's AgnosticFileReader defaults `dat` to its Cobol reader
+    # (AgnosticFileReader.java:99); this engine keeps `dat` on fixed-width
+    # text (the more common case for ASCII .dat) and maps `dt` — the
+    # extension of the reference's own mainframe fixtures — to cobol.
+    # Either is overridable per-source via `format_for` overrides.
+    "dt": "cobol",
     "bin": "binary",
 }
 
