@@ -1,1 +1,1 @@
-from kafka_connect_fs_spark.functions import dedup, multimodal, similarity, text  # noqa: F401
+from kafka_connect_fs_spark.functions import dedup, multimodal, sampling, similarity, text  # noqa: F401

@@ -238,3 +238,62 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         term = bit * F.lit(1 << b).cast("long")
         sim = term if sim is None else (sim + term)
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components: (doc_id, cluster_id)
+    with cluster_id = the MIN doc id reachable through the pair graph —
+    the canonical "keep one representative per duplicate cluster" step a
+    training-data pipeline runs after MinHash/SimHash pair generation
+    (the reference has no analog; this is beyond-parity pipeline surface).
+
+    Iterative min-label propagation: each round joins labels across edges
+    and keeps the per-node min — one shuffle join + one partial-agg
+    groupBy per round, both on the node id. Rounds needed = graph
+    diameter in label-hops (LSH duplicate clusters are near-cliques, so
+    2-4 in practice; a path graph needs O(log n) doublings of the label
+    frontier... strictly O(diameter) here). Each iteration's driver-side
+    cost is one `count()` of CHANGED labels (an int, not data), so the
+    loop is safe at any scale; state per round is O(nodes), persisted and
+    rotated. Deterministic: labels are ids, no RNG.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    edges.persist()
+    # label(n) = min(n, min neighbor) to start
+    labels = edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("label")
+    ).select(F.col("src").alias("node"), "label")
+    labels.persist()
+    for _ in range(max_iter):
+        # push labels across edges, take per-node min of (own, received)
+        received = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("rcv"))
+            .select(F.col("src").alias("node"), "rcv")
+        )
+        new = (
+            labels.join(received, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("rcv", F.col("label"))).alias("label"),
+                (F.col("rcv") < F.col("label")).alias("changed"),
+            )
+        )
+        new.persist()
+        n_changed = new.where("changed").count()  # an int — no data to driver
+        labels.unpersist()
+        labels = new.select("node", "label")
+        if n_changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_connect_fs_spark.functions import dedup as D
+from kafka_connect_fs_spark.functions import sampling as SP
 from kafka_connect_fs_spark.functions import multimodal as M
 from kafka_connect_fs_spark.functions import similarity as S
 from kafka_connect_fs_spark.functions import text as TX
@@ -548,6 +549,101 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b USING (band_id, band_key)
 WHERE a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING: MinHash-LSH pairs → connected components via
+    iterative min-label propagation (one node-keyed join + partial-agg
+    groupBy per round, O(diameter) rounds — dup clusters are near-cliques
+    so 2-4 in practice). cluster_id = min doc_id of the component: the
+    canonical "keep one representative per duplicate cluster" step."""
+    pairs = D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    return D.connected_components(pairs).select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = """
+WITH RECURSIVE
+w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS u(i)
+  WHERE length(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) > 0),
+mh AS (
+  SELECT doc_id, s.seed, min(md5(shingle || '#' || CAST(s.seed AS VARCHAR))) AS h
+  FROM sh, (SELECT unnest(generate_series(0, 7)) AS seed) s
+  GROUP BY doc_id, s.seed),
+bands AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band_id,
+         md5(string_agg(h, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(seed // 2 AS INTEGER)),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b USING (band_id, band_key)
+  WHERE a.doc_id < b.doc_id),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+FROM reach GROUP BY src
+"""
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling (the data-mixture
+    primitive): keep-fraction per `lang` via an md5-threshold on doc_id —
+    a narrow scan-side filter, no RNG, no shuffle; membership is a pure
+    function of (key, salt) so re-runs and joins agree."""
+    return SP.stratified_hash_sample(
+        t(spark, sf_dir, "documents"),
+        key_col="doc_id",
+        strata_col="lang",
+        fractions_bp={"en": 2500, "de": 10000, "fr": 500},
+        default_bp=1000,
+    ).select("doc_id", "lang", "source")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang, source FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#s0'), 1, 15)) AS BIGINT)
+        % 10000
+      < CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 10000
+                  WHEN 'fr' THEN 500 ELSE 1000 END
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing for training-batch assembly:
+    shard by doc_id hash (packing is embarrassingly parallel per shard —
+    the ONLY shuffle is the hash partition, no global sort), running
+    token sum per shard, chunk every 2048 tokens."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(F.split(F.col("text"), " ")).cast("long")
+    )
+    return SP.pack_sequences(
+        d, key_col="doc_id", n_tokens_col="n_tokens", bin_tokens=2048, n_shards=8
+    ).select("doc_id", "shard", "bin_no", "bin_fill")
+
+
+SQL_PACK_SEQUENCES = """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#p0'), 1, 15)) AS BIGINT)
+           % 8 AS shard
+  FROM documents),
+c AS (
+  SELECT doc_id, shard,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM d)
+SELECT doc_id, shard, (cum - 1) // 2048 AS bin_no,
+       cum - ((cum - 1) // 2048) * 2048 AS bin_fill
+FROM c
 """
 
 
@@ -1209,6 +1305,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_clicked_never_purchased": q_set_ops_clicked_never_purchased,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "text_token_stats": q_text_token_stats,
     "text_token_stats_bpe": q_text_token_stats_bpe,
@@ -1247,6 +1346,9 @@ ORACLES: dict[str, str] = {
     "set_ops_clicked_never_purchased": SQL_SET_OPS,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_token_stats_bpe": SQL_TEXT_TOKEN_STATS_BPE,

@@ -171,3 +171,100 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.5, recall  # 8 selected centroids, half probed
     all_probe = {(r.q_id, r.n_id) for r in S.ivf_topk(q, c, k=5, n_centroids=8, n_probe=8).collect()}
     assert all_probe == exact  # probing every list degenerates to exact
+
+
+# --------------------------------------------------- sampling / clustering
+
+
+def test_connected_components_two_components_and_chain(spark):
+    from kafka_connect_fs_spark.functions.dedup import connected_components
+
+    # component {1,2,3,4} as a CHAIN (worst-case diameter, exercises
+    # multi-round propagation) and component {10,11} as a pair
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_cycle_converges(spark):
+    from kafka_connect_fs_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_hash_sample_deterministic_and_partitioning(spark):
+    from kafka_connect_fs_spark.functions.sampling import hash_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    a = {r.k for r in hash_sample(df, "k", 3000).collect()}
+    b = {r.k for r in hash_sample(df, "k", 3000).collect()}
+    assert a == b  # pure function of (key, salt): reruns agree
+    # threshold is a superset relation: the 30% sample contains the 10% one
+    c = {r.k for r in hash_sample(df, "k", 1000).collect()}
+    assert c <= a
+    # roughly proportional (md5 is uniform; wide tolerance, no flakiness)
+    assert 0.2 < len(a) / 2000 < 0.4
+    # different salt = a different (near-independent) sample
+    d = {r.k for r in hash_sample(df, "k", 3000, salt="other").collect()}
+    assert d != a
+
+
+def test_stratified_hash_sample_thresholds(spark):
+    from kafka_connect_fs_spark.functions.sampling import (
+        hash_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "keep_all" if i % 2 else "drop_all") for i in range(1000)],
+        "k long, stratum string",
+    )
+    got = stratified_hash_sample(
+        df, "k", "stratum", {"keep_all": 10_000, "drop_all": 0}
+    ).collect()
+    assert {r.stratum for r in got} == {"keep_all"}
+    assert len(got) == 500
+    # default_bp applies to unknown strata and equals plain hash_sample
+    got2 = stratified_hash_sample(df, "k", "stratum", {}, default_bp=2500)
+    plain = hash_sample(df, "k", 2500)
+    assert {r.k for r in got2.collect()} == {r.k for r in plain.collect()}
+
+
+def test_pack_sequences_concat_and_chunk_invariants(spark):
+    from kafka_connect_fs_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 300) for i in range(400)], "doc_id long, n_tokens long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tokens", bin_tokens=1024, n_shards=4)
+    rows = out.collect()
+    assert len(rows) == 400
+    for r in rows:
+        assert 0 <= r.shard < 4
+        assert 1 <= r.bin_fill <= 1024
+    # per shard: cum reconstruction — bin_no*1024 + bin_fill is strictly
+    # increasing in doc_id order and equals the running token sum
+    import collections
+
+    by_shard = collections.defaultdict(list)
+    for r in rows:
+        by_shard[r.shard].append(r)
+    toks = {r.doc_id: r.n_tokens for r in df.collect()}
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            cum += toks[r.doc_id]
+            assert r.bin_no * 1024 + r.bin_fill == cum, (shard, r.doc_id)
+
+
+def test_pack_sequences_long_doc_spans_chunks(spark):
+    from kafka_connect_fs_spark.functions.sampling import pack_sequences
+
+    df = spark.createDataFrame([(1, 5000)], "doc_id long, n_tokens long")
+    r = pack_sequences(df, "doc_id", "n_tokens", bin_tokens=1024, n_shards=1).collect()[0]
+    assert r.bin_no == 4 and r.bin_fill == 5000 - 4 * 1024

@@ -100,3 +100,20 @@ def test_ngram_jaccard_explode_computed_once(spark):
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1  # one executed scan of documents
     assert final.count("ReusedExchange") >= 2  # shingle shuffle + size bcast
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    """Hash sampling must stay a narrow filter: no Exchange, no Python,
+    and the CASE-threshold predicate evaluated in the scan stage."""
+    plan = plan_of(QUERIES["sample_stratified"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shuffle_on_shard(spark):
+    """Concat-and-chunk packing shuffles ONCE (hash on shard); no global
+    sort (a range Exchange would mean a single-ordering bottleneck)."""
+    plan = plan_of(QUERIES["pack_sequences"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
