@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--bytes-per-trigger", type=int, default=0)
     p.add_argument("--cleanup", default="none", choices=["none", "move", "delete"])
     p.add_argument("--cleanup-move-dir")
+    p.add_argument("--cleanup-move-prefix", default="",
+                   help="filename prefix for moved files (policy.cleanup.move.prefix)")
+    p.add_argument("--reader-options-json", default=None,
+                   help="inline JSON or a path to a JSON file with per-reader "
+                        "options (e.g. cobol copybook_content, csv sep)")
     p.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
     p.add_argument("--compact-every", type=int, default=20,
                    help="fold MoR deltas every N batches (0 = never)")
@@ -67,6 +72,15 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.schema_json) as f:
             schema = T.StructType.fromJson(json.load(f))
 
+    reader_options: dict = {}
+    if args.reader_options_json:
+        raw = args.reader_options_json
+        if raw.lstrip().startswith("{"):
+            reader_options = json.loads(raw)
+        else:
+            with open(raw) as f:
+                reader_options = json.load(f)
+
     engine = IngestEngine(
         spark,
         IngestConfig(
@@ -83,6 +97,8 @@ def main(argv: list[str] | None = None) -> int:
             bytes_per_trigger=args.bytes_per_trigger,
             cleanup=args.cleanup,
             cleanup_move_dir=args.cleanup_move_dir,
+            cleanup_move_prefix=args.cleanup_move_prefix,
+            reader_options=reader_options,
             merge_mode=args.merge_mode,
             compact_every=args.compact_every,
             compact_min_files_per_bucket=args.compact_min_files,

@@ -112,6 +112,9 @@ class IngestConfig:
     records_per_file_per_trigger: int = 0
     cleanup: str = "none"  # none | move | delete (AbstractPolicy.java:45-47)
     cleanup_move_dir: str | None = None
+    # filename prefix applied to moved files (policy.cleanup.move.prefix,
+    # AbstractPolicy.java:288: target = cleanupDir / prefix + name)
+    cleanup_move_prefix: str = ""
     emit_unterminated_final_line: bool = True
     max_split_bytes: int = 128 * 1024 * 1024
     batch_id_prefix: str = "ingest-"
@@ -695,7 +698,8 @@ class IngestEngine:
                 else:
                     dfs, dsub = fs, dest_dir
                 dfs.create_dir(dsub, recursive=True)
-                fs.move(sub, f"{dsub.rstrip('/')}/{os.path.basename(sub)}")
+                name = self.config.cleanup_move_prefix + os.path.basename(sub)
+                fs.move(sub, f"{dsub.rstrip('/')}/{name}")
             else:
                 raise ValueError(f"unknown cleanup mode: {mode}")
             return
@@ -706,7 +710,8 @@ class IngestEngine:
         elif mode == "move":
             dest_dir = self._require_move_dir()
             os.makedirs(dest_dir, exist_ok=True)
-            shutil.move(p, os.path.join(dest_dir, os.path.basename(p)))
+            name = self.config.cleanup_move_prefix + os.path.basename(p)
+            shutil.move(p, os.path.join(dest_dir, name))
         else:
             raise ValueError(f"unknown cleanup mode: {mode}")
 

@@ -180,6 +180,22 @@ def test_cleanup_move_after_fully_consumed(spark, tmp_path):
     assert_matches_oracle(engine, rows)
 
 
+def test_cleanup_move_prefix_applied(spark, tmp_path):
+    """policy.cleanup.move.prefix parity (AbstractPolicy.java:288):
+    moved files gain the configured filename prefix."""
+    dest = tmp_path / "done"
+    engine = make_engine(
+        spark, tmp_path, cleanup="move", cleanup_move_dir=str(dest),
+        cleanup_move_prefix="done-",
+    )
+    rows = transcript_change_events(3, 2)
+    p = tmp_path / "src" / "a.jsonl"
+    write_jsonl(rows, str(p))
+    engine.run_once()
+    engine.run_once()
+    assert not p.exists() and (dest / "done-a.jsonl").exists()
+
+
 def test_delete_op_removes_turn(spark, tmp_path):
     engine = make_engine(spark, tmp_path)
     rows = transcript_change_events(3, 2)

@@ -136,3 +136,37 @@ def test_table_state_after_jobs(spark, tmp_path):
     assert {(r.conv_id, r.turn_idx) for r in t.read().collect()} == {
         ("c1", i) for i in range(5)
     }
+
+
+def test_ingest_job_cobol_with_reader_options_json(tmp_path):
+    """EBCDIC source through the CLI: --format agnostic dispatches .dt to
+    the cobol reader, with the copybook passed via --reader-options-json
+    and the moved files gaining --cleanup-move-prefix."""
+    sys.path.insert(0, REPO)
+    from tests.test_cobol import CPY, ROWS, write_fixture
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    write_fixture(str(src / "dump.dt"), ROWS[:40])
+    opts_path = tmp_path / "reader.json"
+    with open(opts_path, "w") as f:
+        json.dump({"copybook_content": CPY, "schema_policy": "collapse_root"}, f)
+    out = run_job(
+        "ingest_job.py",
+        [
+            "--uris", str(src),
+            "--format", "agnostic",
+            "--reader-options-json", str(opts_path),
+            "--table", str(tmp_path / "table"),
+            "--checkpoint", str(tmp_path / "ckpt"),
+            "--keys", "CONV_ID", "TURN_IDX",
+            "--ts-col", "TS",
+            "--n-buckets", "2",
+            "--cleanup", "move",
+            "--cleanup-move-dir", str(tmp_path / "done"),
+            "--cleanup-move-prefix", "ok-",
+            "--policy", "sleepy", "--sleep", "0.1", "--max-execs", "3",
+        ],
+    )
+    assert out["events"] == 40
+    assert (tmp_path / "done" / "ok-dump.dt").exists()
