@@ -601,7 +601,14 @@ def encode_records(
             if f.usage in ("comp1", "comp2"):
                 raise CopybookError("encode_records does not support COMP-1/2")
             if pic and pic.kind == "num":
-                iv = 0 if v is None else int(round(float(v) * (10 ** pic.scale)))
+                if v is None:
+                    iv = 0
+                elif isinstance(v, int):
+                    # keep int arithmetic exact: float(v) would round
+                    # integers above 2**53
+                    iv = v * (10 ** pic.scale)
+                else:
+                    iv = int(round(float(v) * (10 ** pic.scale)))
                 if f.usage == "comp3":
                     a = abs(iv)
                     ds = str(a).rjust(pic.digits, "0")[-pic.digits :]

@@ -482,3 +482,71 @@ def test_reference_code_pages_fixture(spark):
         d = r.asDict()
         assert all(v is not None for v in d.values()), d
     assert {type(r.CURRENCY) for r in rows} == {str}
+
+
+# ---------------------------------------------------------------- property
+
+
+def test_property_encode_decode_roundtrip():
+    """Hypothesis: for arbitrary (digits, scale, usage, sign) field specs
+    and in-range values, encode_records ∘ decode_records is identity.
+    Catches sign-overpunch, nibble-packing, and scale/precision edges the
+    example tests miss."""
+    from hypothesis import given, settings, strategies as st
+
+    from kafka_connect_fs_spark.sources.copybook import (
+        decode_records,
+        encode_records,
+    )
+
+    usages = st.sampled_from(["display", "comp", "comp3"])
+
+    @st.composite
+    def field_spec(draw):
+        usage = draw(usages)
+        digits = draw(st.integers(min_value=1, max_value=18))
+        scale = draw(st.integers(min_value=0, max_value=min(4, digits)))
+        signed = draw(st.booleans())
+        return usage, digits, scale, signed
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.data())
+    def inner(data):
+        specs = data.draw(st.lists(field_spec(), min_size=1, max_size=5))
+        lines = ["       01  REC."]
+        for i, (usage, digits, scale, signed) in enumerate(specs):
+            pic = ("S" if signed else "") + f"9({digits - scale})"
+            if scale:
+                pic += f"V9({scale})"
+            u = {"display": "", "comp": " COMP", "comp3": " COMP-3"}[usage]
+            lines.append(f"           05  F-{i}  PIC {pic}{u}.")
+        root = parse_copybook("\n".join(lines))
+        rows = []
+        for _r in range(data.draw(st.integers(min_value=1, max_value=4))):
+            row = {}
+            for i, (usage, digits, scale, signed) in enumerate(specs):
+                # scaled values go through float: keep them float-exact
+                # (<= 15 significant digits); integers are exact end-to-end
+                eff = min(digits, 14) if scale else digits
+                limit = 10 ** eff - 1
+                lo = -limit if signed else 0
+                iv = data.draw(st.integers(min_value=lo, max_value=limit))
+                # store the SCALED value; the field holds iv / 10^scale
+                row[f"f_{i}"] = iv / (10 ** scale) if scale else iv
+            rows.append(row)
+        raw = encode_records(rows, root)
+        lrecl = root.children[0].size
+        m = np.frombuffer(raw, dtype=np.uint8).reshape(len(rows), lrecl)
+        df = decode_records(m, flatten(root))
+        for i, (usage, digits, scale, signed) in enumerate(specs):
+            got = df[f"rec__f_{i}"]
+            for r_idx, row in enumerate(rows):
+                exp = row[f"f_{i}"]
+                if scale:
+                    assert got[r_idx] == pytest.approx(exp, abs=10 ** -(scale + 6)), (
+                        usage, digits, scale, signed, exp, got[r_idx])
+                else:
+                    assert int(got[r_idx]) == exp, (
+                        usage, digits, scale, signed, exp, got[r_idx])
+
+    inner()
