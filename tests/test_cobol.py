@@ -550,3 +550,45 @@ def test_property_encode_decode_roundtrip():
                         usage, digits, scale, signed, exp, got[r_idx])
 
     inner()
+
+
+def test_engine_cobol_append_resumes_at_record_boundary(spark, tmp_path):
+    """Append more EBCDIC records (plus a torn tail) to an already-
+    ingested fixed-length file: the next trigger ingests only complete
+    new records; the torn record is recovered once completed (the
+    floor-rounding resume — no loss, no duplicates through the MERGE)."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    p = str(src / "dump.dt")
+    write_fixture(p, ROWS[:30])
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(src)],
+            table_root=str(tmp_path / "table"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            fmt="agnostic",
+            reader_options={"copybook_content": CPY, "schema_policy": "collapse_root"},
+            keys=("CONV_ID", "TURN_IDX"),
+            ts_col="TS",
+            n_buckets=2,
+        ),
+    )
+    engine.run_once()
+    assert engine.lake.read().count() == 30
+    # append 10 full records + half of an 11th
+    with open(p, "ab") as f:
+        for r in ROWS[30:40]:
+            f.write(enc_record(*r))
+        f.write(enc_record(*ROWS[40])[: LRECL // 2])
+    engine.run_once()
+    state = {(r.CONV_ID, r.TURN_IDX) for r in engine.lake.read().collect()}
+    assert state == {(r[0], r[1]) for r in ROWS[:40]}  # torn 41st not yet
+    # complete the torn record: next trigger recovers exactly it
+    with open(p, "ab") as f:
+        f.write(enc_record(*ROWS[40])[LRECL // 2 :])
+    engine.run_once()
+    state = {(r.CONV_ID, r.TURN_IDX) for r in engine.lake.read().collect()}
+    assert state == {(r[0], r[1]) for r in ROWS[:41]}
