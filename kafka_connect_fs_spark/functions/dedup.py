@@ -252,48 +252,77 @@ def connected_components(
     training-data pipeline runs after MinHash/SimHash pair generation
     (the reference has no analog; this is beyond-parity pipeline surface).
 
-    Iterative min-label propagation: each round joins labels across edges
-    and keeps the per-node min — one shuffle join + one partial-agg
-    groupBy per round, both on the node id. Rounds needed = graph
-    diameter in label-hops (LSH duplicate clusters are near-cliques, so
-    2-4 in practice; a path graph needs O(log n) doublings of the label
-    frontier... strictly O(diameter) here). Each iteration's driver-side
-    cost is one `count()` of CHANGED labels (an int, not data), so the
-    loop is safe at any scale; state per round is O(nodes), persisted and
-    rotated. Deterministic: labels are ids, no RNG.
+    Iterative min-label propagation WITH pointer jumping: each round a
+    node takes the min of its own label, its neighbors' labels (one
+    shuffle join + partial-agg groupBy on the node id), and its label's
+    label (the shortcut join that doubles the effective hop distance per
+    round). Convergence is O(log(diameter)) rounds — a 10^6-node chain
+    needs ~20 rounds, a near-clique LSH dup cluster 2-3. Each round's
+    driver-side cost is one `count()` of CHANGED labels (an int, not
+    data); state per round is O(nodes).
+
+    Lineage is truncated every round with an eager ``localCheckpoint``
+    (the canonical Spark iterative-algorithm pattern): the round's plan
+    references the previous labels three times, so WITHOUT truncation
+    the logical plan grows 3^rounds and the driver OOMs just printing it
+    — caching alone cuts re-execution, not plan size. localCheckpoint
+    also releases the prior round's blocks as they become unreferenced.
+    Deterministic: labels are ids, no RNG. Warns if max_iter exhausts
+    before a fixpoint — the returned clusters would then be over-split.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
-    edges.persist()
+    edges = edges.localCheckpoint(eager=True)
     # label(n) = min(n, min neighbor) to start
     labels = edges.groupBy("src").agg(
         F.least(F.min("dst"), F.first("src")).alias("label")
     ).select(F.col("src").alias("node"), "label")
-    labels.persist()
+    labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iter):
-        # push labels across edges, take per-node min of (own, received)
+        # (a) neighbor propagation: push labels across edges
         received = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("rcv"))
             .select(F.col("src").alias("node"), "rcv")
         )
+        # (b) pointer jumping: label[label[n]] — shortcut through the
+        # current label graph, doubling hop distance per round
+        lab2 = labels.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
         new = (
             labels.join(received, "node", "left")
+            .join(lab2, labels.label == lab2.l_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("rcv", F.col("label"))).alias("label"),
-                (F.col("rcv") < F.col("label")).alias("changed"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("rcv", F.col("label")),
+                    F.coalesce("l_label", F.col("label")),
+                ).alias("label"),
+                (
+                    (F.col("rcv") < F.col("label"))
+                    | (F.col("l_label") < F.col("label"))
+                ).alias("changed"),
             )
         )
-        new.persist()
+        new = new.localCheckpoint(eager=True)  # truncate lineage + materialize
         n_changed = new.where("changed").count()  # an int — no data to driver
-        labels.unpersist()
         labels = new.select("node", "label")
         if n_changed == 0:
+            converged = True
             break
-    edges.unpersist()
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within {max_iter} rounds; "
+            "clusters may be over-split (raise max_iter)",
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -534,7 +534,10 @@ class LakeTable:
             # `op` and lineage) so a consumer unioning polls across calls
             # never hits a schema clash on an empty poll
             live, _, _ = self._state()
-            raw = self._read_files(sorted(live)[:1])
+            # NEWEST live file (paths embed the commit version, so the sort
+            # is commit order): after additive schema evolution the oldest
+            # file would lack the new columns and re-create the union clash
+            raw = self._read_files(sorted(live)[-1:])
             empty = (
                 raw.limit(0)
                 if raw is not None

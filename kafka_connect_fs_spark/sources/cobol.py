@@ -125,7 +125,7 @@ def read_cobol(
         flat_df = spark.createDataFrame([], flat_schema)
         return _assemble(flat_df, root, opts)
 
-    task_schema = "path string, start long, end long"
+    task_schema = "path string, start long, end long, emit_from long"
     tasks_df = spark.createDataFrame(tasks, task_schema).repartition(
         min(len(tasks), spark.sparkContext.defaultParallelism)
     )
@@ -148,7 +148,10 @@ def read_cobol(
                         f.seek(start)
                     raw = f.read(end - start)
                 if rdw:
-                    recs, offsets = _frame_rdw(raw, lrecl, rdw_be, rdw_adj, base=start)
+                    recs, offsets = _frame_rdw(
+                        raw, lrecl, rdw_be, rdw_adj, base=start,
+                        emit_from=int(row.emit_from),
+                    )
                 else:
                     n = len(raw) // lrecl
                     recs = raw[: n * lrecl]
@@ -174,13 +177,26 @@ def read_cobol(
 
 
 def _frame_rdw(
-    raw: bytes, lrecl: int, big_endian: bool, adjustment: int, base: int
+    raw: bytes,
+    lrecl: int,
+    big_endian: bool,
+    adjustment: int,
+    base: int,
+    emit_from: int = 0,
 ) -> tuple[bytes, list[int]]:
     """Split an RDW-framed byte run (4-byte record descriptor word per
     record; length is the 16-bit big-endian word at bytes 0-1 or the
     little-endian word at bytes 2-3 — the layout observed in the
     reference's own Cobrix fixtures) into fixed lrecl records, padding or
-    truncating each payload to the copybook length."""
+    truncating each payload to the copybook length.
+
+    ``emit_from`` supports append resume: framing must start at byte 0
+    (RDW is sequential), but only records EXTENDING PAST the previously
+    committed offset are emitted. A record fully inside [0, emit_from)
+    completed within the prior snapshot and was emitted then; a record
+    straddling emit_from was torn in that snapshot (held back — torn
+    trailing records claim nothing) and is recovered now. No loss, no
+    duplicates."""
     recs = bytearray()
     offsets: list[int] = []
     pos = 0
@@ -195,8 +211,9 @@ def _frame_rdw(
         payload = raw[pos + 4 : pos + 4 + ln]
         if len(payload) < ln:
             break  # torn trailing record: claim nothing past it
-        recs += payload[:lrecl].ljust(lrecl, b"\x00")
-        offsets.append(base + pos)
+        if base + pos + 4 + ln > emit_from:
+            recs += payload[:lrecl].ljust(lrecl, b"\x00")
+            offsets.append(base + pos)
         pos += 4 + ln
     return bytes(recs), offsets
 
@@ -210,7 +227,10 @@ def _plan_tasks(
         if w.snap_length <= 0:
             continue
         if opts.is_record_sequence:
-            tasks.append((w.path, 0, w.snap_length))
+            # RDW framing is sequential: always scan from byte 0, but emit
+            # only records extending past the committed offset (see
+            # _frame_rdw emit_from) so appended files don't re-emit history
+            tasks.append((w.path, 0, w.snap_length, w.start_offset))
             continue
         # Resume on a record boundary, rounding DOWN: the engine commits the
         # full snapshot length for whole-file formats, so after an append
@@ -221,7 +241,7 @@ def _plan_tasks(
         end = (w.snap_length // lrecl) * lrecl  # ignore torn tail bytes
         pos = start
         while pos < end:
-            tasks.append((w.path, pos, min(pos + chunk, end)))
+            tasks.append((w.path, pos, min(pos + chunk, end), 0))
             pos += chunk
     return tasks
 
@@ -256,7 +276,11 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
         if f.occurs:
             if f.is_group:
                 return [F.array(*per_rep).alias(f.name)]
-            return [F.array(*[c[0] for c in per_rep]).alias(f.name)]
+            out = [F.array(*[c[0] for c in per_rep]).alias(f.name)]
+            if opts.debug:
+                # keep the per-occurrence raw-hex debug columns too
+                out.append(F.array(*[c[1] for c in per_rep]).alias(f.name + "_debug"))
+            return out
         if f.is_group:
             return [per_rep[0].alias(f.name)]
         return per_rep[0]

@@ -117,14 +117,19 @@ _TOKEN_FIXES = (
 )
 
 
-def _strip_columns(text: str) -> list[str]:
+def _strip_columns(text: str, fixed: bool | None = None) -> list[str]:
     """Apply the fixed-format comment policy the reference configures:
     drop columns 1-6 and 73+ (CobolFileReader.java:241 CommentPolicy),
-    drop '*'/'/' comment lines. Copybooks written free-format (no
-    sequence area) are detected by lines whose first 6 columns already
-    hold syntax and passed through unchanged."""
+    drop '*'/'/' comment lines. ``fixed=None`` auto-detects (lines whose
+    first 6 columns hold only digits/spaces look like a sequence area);
+    the heuristic can misfire on free-format copybooks indented 1-5
+    spaces, so parse_copybook retries the other mode on parse failure."""
     lines = text.replace("\t", "        ").splitlines()
-    fixed = any(len(ln) > 6 and ln[:6].strip("0123456789 ") == "" and ln.strip() for ln in lines)
+    if fixed is None:
+        fixed = any(
+            len(ln) > 6 and ln[:6].strip("0123456789 ") == "" and ln.strip()
+            for ln in lines
+        )
     out = []
     for ln in lines:
         body = ln[6:72] if fixed else ln
@@ -148,7 +153,9 @@ def _parse_pic(raw: str) -> Picture:
         return Picture(raw=raw, kind="alpha", char_size=len(expanded))
     signed = expanded.startswith("S") or expanded.startswith("+") or expanded.startswith("-")
     body = expanded[1:] if expanded.startswith("S") else expanded
-    edited = any(c in body for c in "Z.,+-$*") or "CR" in body or "DB" in body
+    # editing/insertion characters (incl. B=blank, 0, / insertion) force
+    # the string-parse decode path: their byte positions are not digits
+    edited = any(c in body for c in "Z.,+-$*B0/") or "CR" in body or "DB" in body
     # split at V or explicit '.' into int/frac parts
     digits = sum(1 for c in body if c in "9Z")
     # P scaling: Ps before the first 9 (fraction side, after an implied V)
@@ -179,8 +186,8 @@ def _parse_pic(raw: str) -> Picture:
     )
 
 
-def _tokenize(text: str) -> list[list[str]]:
-    src = " ".join(_strip_columns(text))
+def _tokenize(text: str, fixed: bool | None = None) -> list[list[str]]:
+    src = " ".join(_strip_columns(text, fixed))
     for a, b in _TOKEN_FIXES:
         src = re.sub(a, b, src, flags=re.IGNORECASE)
     # statements end with '.' followed by whitespace/EOF
@@ -192,13 +199,31 @@ def parse_copybook(text: str) -> Field:
     """Parse copybook text into a field tree rooted at a synthetic node
     whose children are the 01-level records. Raises CopybookError on
     empty/unusable input (the reference rejects an empty copybook,
-    CobolFileReaderTest.java emptyCopybook)."""
+    CobolFileReaderTest.java emptyCopybook).
+
+    Column handling: auto-detects fixed format (sequence area in columns
+    1-6, code in 7-72) vs free format; if the detected mode fails to
+    parse, the other mode is tried before giving up — a free-format
+    copybook indented 1-5 spaces would otherwise lose its level numbers
+    to the column strip."""
     if not text or not text.strip():
         raise CopybookError("Copybook is not specified.")
+    try:
+        return _parse_copybook_mode(text, None)
+    except CopybookError as first_err:
+        for mode in (False, True):
+            try:
+                return _parse_copybook_mode(text, mode)
+            except CopybookError:
+                continue
+        raise first_err
+
+
+def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
     root = Field(level=0, name="_root")
     stack: list[Field] = [root]
     n_data = 0
-    for toks in _tokenize(text):
+    for toks in _tokenize(text, fixed):
         if len(toks) < 2 or not toks[0].isdigit():
             raise CopybookError(f"Unparseable copybook statement: {' '.join(toks)[:80]}")
         level = int(toks[0])
@@ -426,6 +451,13 @@ def _display_number(m: np.ndarray, leaf: Leaf, ebcdic: bool, e2a: np.ndarray) ->
         a = e2a[sl] if ebcdic else sl
         raw = pd.Series(np.ascontiguousarray(a).view(f"S{f.size}").ravel())
         txt = raw.str.decode("ascii", errors="replace").str.strip()
+        # editing/insertion characters: CR/DB suffix marks negative; then
+        # strip currency/fill/insertion chars (B prints as blank) so the
+        # remaining digit string parses
+        if pic.edited:
+            crdb = txt.str.endswith("CR") | txt.str.endswith("DB")
+            txt = txt.str.replace(r"(CR|DB)$", "", regex=True)
+            txt = txt.str.replace(r"[,$*/ ]", "", regex=True)
         # trailing sign -> leading; zoned overpunch inside edited pics was
         # already translated to a letter by the char decode: map it back
         txt = txt.map(_fix_overpunch_text)
@@ -435,6 +467,8 @@ def _display_number(m: np.ndarray, leaf: Leaf, ebcdic: bool, e2a: np.ndarray) ->
                 ~trail, txt.str[-1:].where(txt.str[-1:] == "-", "") + txt.str[:-1]
             )
         vals = pd.to_numeric(txt, errors="coerce")
+        if pic.edited:
+            vals = vals.where(~crdb, -vals)
         if pic.scale and "." not in pic.raw:
             vals = vals / (10.0 ** pic.scale)
         return vals

@@ -515,6 +515,7 @@ def parse_csv(
     sep: str = ",",
     header: bool = True,
     options: dict | None = None,
+    rows_to_skip: int = 0,
 ) -> DataFrame:
     """CSV/TSV semantics (CsvFileReader.java / TsvFileReader.java /
     UnivocityFileReader.java): declared positional schema, optional header
@@ -529,27 +530,37 @@ def parse_csv(
     - quote/escape/nullValue/emptyValue pass straight through to
       ``from_csv`` (same Univocity engine underneath)
     - preamble skipping (rows_to_skip, :48) happens upstream in
-      read_lines — combine with header=False + explicit names when a file
-      has both a preamble and a header line.
+      read_lines; pass the same ``rows_to_skip`` here so the header — the
+      first line AFTER the preamble — is still recognized and dropped.
     """
     opts = {"sep": sep, "mode": "PERMISSIVE"}
     opts.update(options or {})
     comment = opts.pop("comment", None)
-    if comment and header:
+    if header and (comment or rows_to_skip):
         # Univocity processes comments BEFORE header detection
         # (UnivocityFileReader.java:53): the header is the first
         # NON-comment line of a scan that started at byte 0. That needs a
-        # per-file window (comment+header files only — the common paths
-        # below stay windowless): flag fresh-scan files (some line at
-        # offset 0), filter comments, drop the first survivor.
+        # per-file window (comment/preamble files only — the common paths
+        # below stay windowless): flag fresh-scan files, filter comments,
+        # drop the first survivor. With a preamble (rows_to_skip) the
+        # fresh-scan anchor is _line_no == rows_to_skip — the scanner
+        # numbers lines from the file start, skipped preamble included,
+        # while a resumed tail numbers its own lines from 0, so the two
+        # cannot be confused.
         from pyspark.sql import Window
 
         wf = Window.partitionBy("_src_file")
         wo = Window.partitionBy("_src_file").orderBy("_src_offset")
+        anchor = (
+            F.min("_line_no").over(wf) == rows_to_skip
+            if rows_to_skip
+            else F.min("_src_offset").over(wf) == 0
+        )
+        lines = lines.withColumn("_scan0", anchor)
+        if comment:
+            lines = lines.filter(~F.col("value").startswith(comment))
         lines = (
-            lines.withColumn("_scan0", F.min("_src_offset").over(wf) == 0)
-            .filter(~F.col("value").startswith(comment))
-            .withColumn("_rn", F.row_number().over(wo))
+            lines.withColumn("_rn", F.row_number().over(wo))
             .filter(~(F.col("_scan0") & (F.col("_rn") == 1)))
             .drop("_scan0", "_rn")
         )

@@ -406,6 +406,7 @@ class IngestEngine:
                 sep=o.get("sep", "\t" if fmt == "tsv" else ","),
                 header=o.get("header", True),
                 options=o.get("csv_options"),
+                rows_to_skip=int(o.get("rows_to_skip", 0)),
             )
         if fmt == "xml_lines":
             return parse_xml_lines(lines, self._require_schema(), o)
@@ -581,14 +582,16 @@ class IngestEngine:
                 else:
                     end = w.snap_length
                 end = max(end, w.start_offset)
-                # compressed offsets are decompressed-bytes, so eof can't be
-                # end>=size; it means "stream fully consumed this trigger",
-                # i.e. every range of the file read successfully
-                eof = bool(end >= snap[w.path]) or (
-                    _compressed(w.path)
-                    and w.path not in failed
-                    and w.path not in partial
-                )
+                # compressed offsets are decompressed-bytes, so eof can NEVER
+                # be end>=size (decompressed end typically exceeds compressed
+                # size even when records were held back — e.g. by the
+                # records-per-file cap's PARTIAL marker); for compressed
+                # files eof means "stream fully consumed this trigger":
+                # every range read successfully, nothing held back
+                if _compressed(w.path):
+                    eof = w.path not in failed and w.path not in partial
+                else:
+                    eof = bool(end >= snap[w.path])
                 wm_updates.append(
                     {
                         "path": w.path,

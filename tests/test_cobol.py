@@ -592,3 +592,78 @@ def test_engine_cobol_append_resumes_at_record_boundary(spark, tmp_path):
     engine.run_once()
     state = {(r.CONV_ID, r.TURN_IDX) for r in engine.lake.read().collect()}
     assert state == {(r[0], r[1]) for r in ROWS[:41]}
+
+
+def test_rdw_append_emits_only_new_records(spark, tmp_path):
+    """RDW resume: framing restarts at byte 0 (sequential format) but
+    only records extending past the committed offset are emitted — an
+    appended record-sequence file does not re-emit its history, and a
+    record torn at the snapshot boundary is recovered once complete."""
+    p = str(tmp_path / "seq.dt")
+    def rdw(payload: bytes) -> bytes:
+        return b"\x00\x00" + len(payload).to_bytes(2, "little") + payload
+    with open(p, "wb") as f:
+        for r in ROWS[:20]:
+            f.write(rdw(enc_record(*r)))
+    size1 = os.path.getsize(p)
+    base = {"copybook_content": CPY, "schema_policy": "collapse_root",
+            "is_record_sequence": True}
+    # resume from committed offset = size1: history not re-emitted
+    with open(p, "ab") as f:
+        for r in ROWS[20:25]:
+            f.write(rdw(enc_record(*r)))
+    w = WorkItem(path=p, start_offset=size1, snap_length=os.path.getsize(p))
+    got = read_cobol(spark, [w], base).orderBy("_src_offset").collect()
+    assert [r.CONV_ID for r in got] == [r[0] for r in ROWS[20:25]]
+    # torn record at the boundary: committed offset sits mid-record;
+    # the completed record is recovered, fully-before records are not
+    rec = rdw(enc_record(*ROWS[25]))
+    with open(p, "ab") as f:
+        f.write(rec[: len(rec) // 2])
+    torn_committed = os.path.getsize(p)
+    with open(p, "ab") as f:
+        f.write(rec[len(rec) // 2 :])
+    w2 = WorkItem(path=p, start_offset=torn_committed, snap_length=os.path.getsize(p))
+    got2 = read_cobol(spark, [w2], base).collect()
+    assert [r.CONV_ID for r in got2] == [ROWS[25][0]]
+
+
+def test_occurs_debug_fields_present(spark, tmp_path):
+    """debug_fields_policy=raw keeps per-occurrence raw-hex columns for
+    OCCURS leaves too (they decode anyway; dropping them was a bug)."""
+    cpy = """
+       01  R.
+           05  AMT  PIC S9(3) COMP-3 OCCURS 3.
+    """
+    p = str(tmp_path / "occ.dt")
+    with open(p, "wb") as f:
+        f.write(enc_packed(1, 3) + enc_packed(-2, 3) + enc_packed(3, 3))
+    df = read_cobol(
+        spark, [item(p)],
+        {"copybook_content": cpy, "schema_policy": "collapse_root",
+         "debug_fields_policy": "raw"},
+    )
+    r = df.collect()[0]
+    assert list(r.AMT) == [1, -2, 3]
+    assert len(r.AMT_debug) == 3 and all(isinstance(h, str) and h for h in r.AMT_debug)
+
+
+def test_edited_picture_with_insertion_chars():
+    """PIC 9(3)B9(3) (blank insertion): char_size != digits must route to
+    the string-parse path, not crash the vectorized zoned decode."""
+    root = parse_copybook("01 R. 05 F PIC 9(3)B9(3).")
+    f = root.children[0].children[0]
+    assert f.size == 7 and f.pic.digits == 6 and f.pic.edited
+    raw = "123 456".encode("cp037")
+    m = np.frombuffer(raw, np.uint8).reshape(1, 7)
+    got = decode_records(m, flatten(root))["r__f"][0]
+    assert got == 123456
+
+
+def test_free_format_copybook_with_short_indent():
+    """A free-format copybook indented 1-5 spaces must not lose its level
+    numbers to the fixed-format column strip (parse retries free mode)."""
+    root = parse_copybook("01 REC.\n  05  FLD PIC X(4).\n  05  N PIC 9(2).")
+    rec = root.children[0]
+    assert [c.name for c in rec.children] == ["FLD", "N"]
+    assert rec.size == 6

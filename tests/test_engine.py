@@ -741,3 +741,75 @@ def test_records_per_file_per_trigger_drains_without_loss(spark, tmp_path):
     assert offsets == sorted(offsets) and len(set(offsets)) == 10
     assert engine.run_once().n_events == 0  # drained
     assert_matches_oracle(engine, rows)
+
+
+def test_records_cap_on_compressed_file_not_marked_eof_early(spark, tmp_path):
+    """A gzip file under records_per_file_per_trigger must NOT be marked
+    eof (and must not be cleaned up) while records are still held back:
+    decompressed committed offsets routinely exceed the compressed
+    listing size, so `end >= size` is meaningless for compressed files."""
+    import gzip as _gzip
+    import json as _json
+
+    engine = make_engine(
+        spark, tmp_path, records_per_file_per_trigger=100, n_buckets=2,
+        cleanup="delete",
+    )
+    rows = transcript_change_events(30, 10)  # 300 events
+    path = str(tmp_path / "src" / "big.jsonl.gz")
+    with _gzip.open(path, "wt") as f:
+        for r in rows:
+            rr = dict(r)
+            rr["ts"] = rr["ts"].strftime("%Y-%m-%d %H:%M:%S")
+            f.write(_json.dumps(rr) + "\n")
+    seen = 0
+    for trigger in range(3):
+        r = engine.run_once()
+        assert r.n_events == 100, (trigger, r.n_events)
+        seen += r.n_events
+        wm = {w.path: w for w in engine.watermarks.load().collect()}[path]
+        assert wm.eof is (trigger == 2), trigger
+        if trigger < 2:
+            assert os.path.exists(path), "cleaned up before fully drained!"
+    assert seen == 300
+    assert engine.run_once().n_events == 0
+    assert not os.path.exists(path)  # eof reached -> delete applied
+    assert_matches_oracle(engine, rows)
+
+
+def test_csv_comment_plus_header_plus_preamble(spark, tmp_path):
+    """comment + header=True + rows_to_skip together: the header is the
+    first non-comment line AFTER the preamble (Univocity order), and it
+    is dropped even though no emitted line sits at byte offset 0."""
+    from pyspark.sql import types as T
+
+    os.makedirs(tmp_path / "src")
+    with open(tmp_path / "src" / "a.csv", "w") as f:
+        f.write("exported by legacy tool\n")        # preamble 1
+        f.write("do not edit\n")                    # preamble 2
+        f.write("# a comment before the header\n")  # comment
+        f.write("conv_id,turn_idx,role,text,ts\n")  # header (must drop)
+        f.write("c1,0,user,hi,2024-01-01 00:00:01\n")
+        f.write("# trailing comment\n")
+        f.write("c1,1,asst,yo,2024-01-01 00:00:02\n")
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    eng = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(tmp_path / "src")], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="csv", schema=schema,
+            n_buckets=2,
+            reader_options={"rows_to_skip": 2, "header": True,
+                            "csv_options": {"comment": "#"}},
+        ),
+    )
+    res = eng.run_once()
+    assert res.n_events == 2, res.n_events
+    got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
+    assert got == {("c1", 0): "hi", ("c1", 1): "yo"}

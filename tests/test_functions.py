@@ -268,3 +268,19 @@ def test_pack_sequences_long_doc_spans_chunks(spark):
     df = spark.createDataFrame([(1, 5000)], "doc_id long, n_tokens long")
     r = pack_sequences(df, "doc_id", "n_tokens", bin_tokens=1024, n_shards=1).collect()[0]
     assert r.bin_no == 4 and r.bin_fill == 5000 - 4 * 1024
+
+
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 60-node chain (diameter 59) converges well inside max_iter=25:
+    pointer jumping doubles label reach per round (O(log n) rounds)."""
+    import warnings as _warnings
+
+    from kafka_connect_fs_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(59)], "doc_a long, doc_b long"
+    )
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # non-convergence would warn -> fail
+        got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(60)}

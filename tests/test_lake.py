@@ -651,3 +651,25 @@ def test_read_changes_commit_version_long_on_both_paths(spark, mor_table):
     assert tname["_commit_version"] == "bigint" == tname_e["_commit_version"]
     # the union a CDF consumer would do must not raise
     assert nonempty.unionByName(empty).count() == 1
+
+
+
+def test_read_changes_empty_poll_mirrors_current_schema(spark, tmp_path):
+    """After additive schema evolution, an EMPTY read_changes poll must
+    mirror the CURRENT schema (newest live file), not the oldest commit's
+    — otherwise a consumer unioning consecutive polls hits a clash."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "cdf_evo"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=2, merge_mode="mor",
+    )
+    t.merge(edf(spark, [ev("c1", 0, "a", 1)]), batch_id="b1")
+    evolved = edf(spark, [ev("c2", 0, "b", 2)]).withColumn("extra", F.lit("x"))
+    t.merge(evolved, batch_id="b2")
+    v = t.latest_version()
+    nonempty = t.read_changes(0, v)
+    empty = t.read_changes(v)  # nothing newer -> empty poll
+    assert empty.count() == 0
+    assert "extra" in nonempty.columns
+    assert set(empty.columns) == set(nonempty.columns)
+    # and the union a consumer would do works without a clash
+    assert nonempty.unionByName(empty).count() == nonempty.count()
