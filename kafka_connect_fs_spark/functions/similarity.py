@@ -274,3 +274,59 @@ def lsh_topk(
         .distinct()
     )
     return _exact_rerank(cand_ids, queries, corpus, k, q_id, n_id, vec_q, vec_n)
+
+
+def embedding_near_pairs_lsh(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+    n_tables: int = 4,
+    n_planes: int = 12,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at corpus scale — the scale
+    path behind the capped all-pairs baseline (q_dedup_embedding_near):
+    LSH-bucket the whole corpus (one numpy matmul per Arrow batch for
+    every table×plane projection), self-join on bucket to generate
+    candidate pairs (ids only shuffle — vectors never ride the join),
+    then exact-cosine rescore and threshold. Cost is O(corpus × tables +
+    bucket collisions), never all-pairs; raise n_planes as the corpus
+    grows to hold per-bucket occupancy (and the candidate fanout) flat.
+
+    Sign-LSH concentrates in the HIGH-similarity regime: with p planes a
+    pair at angle θ survives one table with (1-θ/π)^p, so recall is near
+    1 for true near-dups (cos ≥ ~0.9) and intentionally tiny for weakly
+    similar pairs — which is exactly the dedup use case. Integer-exact
+    bucketing (quantized embeddings × md5-derived ±1 hyperplanes, same
+    scheme as lsh_topk) keeps the candidate set engine-independent, so
+    the DuckDB oracle reproduces pairs exactly; recall on planted
+    near-dups is gated separately in tests."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(None).cast("double").alias("cos_sim"),
+            ).limit(0)
+        dim = first[0]
+    b = _lsh_buckets_pandas(df, vec_col, n_tables, n_planes, dim).select(
+        id_col, F.explode("_buckets").alias("bucket")
+    )
+    a_side = b.select(F.col(id_col).alias("id_a"), "bucket")
+    b_side = b.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a_side.join(b_side, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
+    )
+    return scored.where(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")

@@ -906,14 +906,65 @@ FROM sess GROUP BY user_id, session_no
 def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ 0.35 among the first
     200 vectors — the synthetic embeddings have no true dups, so the
-    threshold selects the top ~1% most-similar pairs — bounded pair space for the exact variant; the scale path
-    is lsh_topk in functions/similarity.py)."""
+    threshold selects the top ~1% most-similar pairs — bounded pair space
+    for the exact variant; the scale path is dedup_embedding_lsh)."""
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     scored = pairs.withColumn("cos_sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
     return scored.where(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs over the WHOLE corpus via LSH bucketing —
+    the scale path the capped exact variant (dedup_embedding_near)
+    baselines: bucket self-join generates candidates (ids only through
+    the shuffle), exact cosine rescore, threshold. Integer-exact
+    bucketing makes the pair set engine-independent (full oracle)."""
+    return S.embedding_near_pairs_lsh(
+        t(spark, sf_dir, "embeddings"), threshold=0.25, n_tables=4, n_planes=12
+    )
+
+
+SQL_DEDUP_EMBEDDING_LSH = """
+WITH hp AS (
+  SELECT tt.t AS t, pp.p AS p, ii.i AS i,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(tt.t AS VARCHAR) || ':' || CAST(pp.p AS VARCHAR)
+                                             || ':' || CAST(ii.i - 1 AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT unnest(generate_series(0, 3)) AS t) tt,
+       (SELECT unnest(generate_series(0, 11)) AS p) pp,
+       (SELECT unnest(generate_series(1, 64)) AS i) ii),
+vexp AS (
+  SELECT vec_id, u.i AS i, embedding[u.i]::DOUBLE AS xv
+  FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)),
+proj AS (
+  SELECT v.vec_id, hp.t, hp.p,
+         sum(CAST(floor(v.xv * 1000000) AS BIGINT) * hp.s) AS pr
+  FROM vexp v JOIN hp ON hp.i = v.i
+  GROUP BY v.vec_id, hp.t, hp.p),
+bucket AS (
+  SELECT vec_id,
+         CAST(t AS VARCHAR) || '#' ||
+         string_agg(CASE WHEN pr >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+  FROM proj GROUP BY vec_id, t),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bucket a JOIN bucket b USING (bucket)
+  WHERE a.vec_id < b.vec_id),
+dots AS (
+  SELECT c.id_a, c.id_b,
+         sum(a.xv * b.xv) AS dot,
+         sqrt(sum(a.xv * a.xv)) AS na,
+         sqrt(sum(b.xv * b.xv)) AS nb
+  FROM cand c
+  JOIN vexp a ON a.vec_id = c.id_a
+  JOIN vexp b ON b.vec_id = c.id_b AND b.i = a.i
+  GROUP BY c.id_a, c.id_b)
+SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.25
+"""
 
 
 SQL_DEDUP_EMBEDDING_NEAR = """
@@ -931,7 +982,7 @@ dots AS (
   WHERE ea.id_a < eb.id_b
   GROUP BY ea.id_a, eb.id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
-FROM dots WHERE round(dot / (na * nb), 4) >= 0.35
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.25
 """
 
 
@@ -1304,6 +1355,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "set_ops_clicked_never_purchased": q_set_ops_clicked_never_purchased,
     "dedup_exact": q_dedup_exact,
+    "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "sample_stratified": q_sample_stratified,
@@ -1360,6 +1412,7 @@ ORACLES: dict[str, str] = {
     "binary_blob_stats": SQL_BINARY_BLOB_STATS,
     "sessionize": SQL_SESSIONIZE,
     "dedup_embedding_near": SQL_DEDUP_EMBEDDING_NEAR,
+    "dedup_embedding_lsh": SQL_DEDUP_EMBEDDING_LSH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,

@@ -284,3 +284,37 @@ def test_connected_components_long_chain_pointer_jumping(spark):
         _warnings.simplefilter("error")  # non-convergence would warn -> fail
         got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(60)}
+
+
+def test_embedding_near_pairs_lsh_recall_and_no_all_pairs(spark):
+    """LSH near-dup pairs operate in the HIGH-similarity regime (that is
+    what sign-LSH concentrates): plant near-duplicate copies (cos~0.99)
+    of corpus vectors and require the bucketer to recover them; the
+    exact rescore guarantees no false positives; and the plan must be a
+    bucket join, never an all-pairs product."""
+    import numpy as np
+
+    from kafka_connect_fs_spark.functions.similarity import (
+        embedding_near_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(120, 64).astype("float64")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    planted = set()
+    for i in range(40):  # ids 1000+i are tiny perturbations of ids i
+        dup = base[i] + 0.02 * rng.randn(64)
+        rows.append((1000 + i, [float(x) for x in dup]))
+        planted.add((i, 1000 + i))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_pairs_lsh(e, threshold=0.9).collect()
+    pairs = {(r.id_a, r.id_b) for r in got}
+    found = planted & pairs
+    assert len(found) / len(planted) >= 0.8, (len(found), len(planted))
+    # exact rescore -> every returned pair really is above threshold
+    assert all(r.cos_sim >= 0.9 for r in got)
+    # plan shape: bucket join, not a cartesian product
+    plan = embedding_near_pairs_lsh(e, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
