@@ -982,7 +982,7 @@ dots AS (
   WHERE ea.id_a < eb.id_b
   GROUP BY ea.id_a, eb.id_b)
 SELECT id_a, id_b, round(dot / (na * nb), 4) AS cos_sim
-FROM dots WHERE round(dot / (na * nb), 4) >= 0.25
+FROM dots WHERE round(dot / (na * nb), 4) >= 0.35
 """
 
 
