@@ -33,6 +33,9 @@ def main(argv: list[str] | None = None) -> int:
                         "older ts are dropped (safe past the replay horizon)")
     v = sub.add_parser("vacuum")
     v.add_argument("--retain-versions", type=int, default=2)
+    v.add_argument("--min-age-seconds", type=float, default=3600.0,
+                   help="skip unreferenced files younger than this — "
+                        "guards concurrent writers mid-commit")
     args = p.parse_args(argv)
 
     import datetime as dt
@@ -52,7 +55,10 @@ def main(argv: list[str] | None = None) -> int:
         commit = table.expire_tombstones(when)
         out["commit"] = commit.metrics if commit else None
     elif args.cmd == "vacuum":
-        out["files_removed"] = table.vacuum(retain_versions=args.retain_versions)
+        out["files_removed"] = table.vacuum(
+            retain_versions=args.retain_versions,
+            min_age_seconds=args.min_age_seconds,
+        )
     print(json.dumps(out))
     return 0
 

@@ -77,18 +77,24 @@ def xxh64(data: bytes, seed: int = 42) -> int:
     return h
 
 
-def spark_xxhash64(value) -> int:
-    """Signed 64-bit hash equal to ``F.xxhash64(F.lit(value))`` (seed 42).
+def spark_xxhash64(value, int_width: int = 8) -> int:
+    """Signed 64-bit hash equal to ``F.xxhash64(col)`` (seed 42).
 
-    str → UTF-8 bytes; bytes → as-is; int/bool → 8-byte little-endian long
-    (Spark promotes every integral type to long before hashing).
+    str → UTF-8 bytes; bytes → as-is; int/bool → little-endian two's
+    complement of ``int_width`` bytes. Width MATTERS: Spark's XxHash64
+    hashes Byte/Short/Int/Boolean columns through its 4-byte hashInt path
+    and Long through the 8-byte hashLong path — the same value in an int
+    vs a bigint column hashes differently (empirically pinned by
+    tests/test_lake.py::test_xxhash64_parity). Callers must pass the
+    width of the COLUMN the executor-side hash runs on (4 for
+    byte/short/int/boolean, 8 for long).
     """
     if isinstance(value, str):
         data = value.encode("utf-8")
     elif isinstance(value, (bytes, bytearray)):
         data = bytes(value)
     elif isinstance(value, (int, bool)):
-        data = int(value).to_bytes(8, "little", signed=True)
+        data = int(value).to_bytes(int_width, "little", signed=True)
     else:
         raise TypeError(f"unsupported key type for xxhash64: {type(value)}")
     h = xxh64(data, 42)

@@ -82,6 +82,16 @@ def _promote(a: T.DataType, b: T.DataType) -> T.DataType:
         return a if _FRACTIONAL_RANK[sa] >= _FRACTIONAL_RANK[sb] else b
     numeric = set(_INTEGRAL_RANK) | set(_FRACTIONAL_RANK)
     if sa in numeric and sb in numeric:
+        # integral×fractional widens to double ONLY when the integral side
+        # fits a double's 53-bit mantissa (byte/short/int). bigint→double
+        # silently corrupts ids above 2^53, which is why Iceberg forbids
+        # long→double — so do we.
+        int_side = sa if sa in _INTEGRAL_RANK else sb
+        if _INTEGRAL_RANK[int_side] >= _INTEGRAL_RANK["bigint"]:
+            raise ValueError(
+                f"incompatible type evolution: {sa} vs {sb} "
+                "(bigint×fractional would lose precision above 2**53)"
+            )
         return T.DoubleType()
     raise ValueError(f"incompatible type evolution: {sa} vs {sb}")
 
@@ -265,13 +275,16 @@ class LakeTable:
             try:
                 with open(self._ckpt_path(v)) as f:
                     raw = json.load(f)
+                # subscripting INSIDE the try: a checkpoint that is valid
+                # JSON but missing a field (older writer, partial repair)
+                # must also fall back, not crash every read
+                return _State(
+                    version=raw["version"], live=raw["live"],
+                    schema_json=raw["schema_json"], renames=raw["renames"],
+                    batch_ids=raw["batch_ids"],
+                )
             except (OSError, json.JSONDecodeError, KeyError):
-                continue  # torn checkpoint → try the previous one
-            return _State(
-                version=raw["version"], live=raw["live"],
-                schema_json=raw["schema_json"], renames=raw["renames"],
-                batch_ids=raw["batch_ids"],
-            )
+                continue  # torn/partial checkpoint → try the previous one
         return None  # no usable checkpoint → full log replay
 
     def _state_full(self, at_version: int | None = None) -> _State:
@@ -362,7 +375,14 @@ class LakeTable:
         # every executor / run), so bucket assignment is stable across commits.
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
 
-    def _read_files(self, relpaths: Sequence[str]) -> DataFrame | None:
+    def _read_files(
+        self, relpaths: Sequence[str], renames: dict | None = None
+    ) -> DataFrame | None:
+        """``renames=None`` folds the LATEST state's renames (right for
+        every current-state caller: merges, compaction, read_changes);
+        time-travel callers must pass the renames of the version they
+        read, or columns renamed AFTER that version would anachronistically
+        apply to the historical frame."""
         if not relpaths:
             return None
         paths = [os.path.join(self.root, _DATA_DIR, p) for p in relpaths]
@@ -380,7 +400,8 @@ class LakeTable:
             df = self.spark.read.schema(self._promoted_footer_schema(paths)).parquet(
                 *paths
             )
-        _, _, renames = self._state()
+        if renames is None:
+            _, _, renames = self._state()
         for old, new in renames.items():
             if old in df.columns and new in df.columns:
                 # files written before AND after the rename coexist (renames
@@ -396,7 +417,7 @@ class LakeTable:
         reads the table as of that commit (time travel — every commit's file
         set is reconstructable until vacuum() removes dead files)."""
         live, schema_json, renames = self._state(at_version)
-        df = self._read_files(list(live))
+        df = self._read_files(list(live), renames=renames)
         if df is not None:
             return df
         if schema_json:
@@ -429,13 +450,28 @@ class LakeTable:
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
         return df.drop(*drop)
 
+    def _key_int_width(self) -> int:
+        """Byte width Spark's XxHash64 uses for the first key column: 4
+        for byte/short/int/boolean, 8 for long (and for string/binary
+        keys, where the width argument is ignored)."""
+        sch = self.current_schema()
+        if sch is not None and self.keys[0] in sch.fieldNames():
+            t = sch[self.keys[0]].dataType.simpleString()
+            if t in ("tinyint", "smallint", "int", "boolean"):
+                return 4
+        return 8
+
     def read_key(self, key_value) -> DataFrame:
         """Bucket-pruned point lookup: reads ONLY the files of the bucket
         `key_value` hashes to — O(table/n_buckets) I/O instead of a full
         scan (the physical benefit of the bucket spec, same as Iceberg
         bucket-partition pruning). The bucket id comes from the driver-side
-        xxhash64 twin (functions/hashing.py) — no Spark job per lookup."""
-        bucket = spark_xxhash64(key_value) % self.n_buckets
+        xxhash64 twin (functions/hashing.py) — no Spark job per lookup.
+        The twin must hash with the WIDTH of the key column: Spark's
+        XxHash64 runs Byte/Short/Int/Boolean through its 4-byte hashInt
+        path and Long through hashLong, so an int-keyed table buckets
+        differently than a bigint-keyed one."""
+        bucket = spark_xxhash64(key_value, self._key_int_width()) % self.n_buckets
         def _covers(a: dict) -> bool:
             # second-level pruning: per-file [key_min, key_max] footer
             # stats (tight after key-clustered compaction) skip the
@@ -582,6 +618,7 @@ class LakeTable:
         batch_id: str | None = None,
         app_metadata: dict | None = None,
         write_salt: int = 1,
+        precommit_check=None,
     ) -> Commit:
         """Idempotent MERGE: upsert rows of ``source`` keyed ``self.keys``
         with last-writer-wins on ``self.ts_col``; rows with ``op='delete'``
@@ -598,7 +635,7 @@ class LakeTable:
         existing commit without touching data — this is what makes
         crash-recovery exactly-once (engine re-runs a batch, merge no-ops).
         """
-        self._write_salt = max(1, int(write_salt))
+        write_salt = max(1, int(write_salt))
         if batch_id is not None:
             existing = self.get_commit_by_batch_id(batch_id)
             if existing is not None:
@@ -614,17 +651,26 @@ class LakeTable:
                 )
         src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
         if self.merge_mode == "mor":
-            return self._merge_mor(src, batch_id, app_metadata)
+            return self._merge_mor(
+                src, batch_id, app_metadata, write_salt, precommit_check
+            )
         # persist: the source feeds two jobs (bucket discovery + the merge
         # write) — don't recompute the upstream parse twice
         src = src.persist()
         try:
-            return self._merge_persisted(src, batch_id, app_metadata)
+            return self._merge_persisted(
+                src, batch_id, app_metadata, write_salt, precommit_check
+            )
         finally:
             src.unpersist()
 
     def _merge_mor(
-        self, src: DataFrame, batch_id: str | None, app_metadata: dict | None
+        self,
+        src: DataFrame,
+        batch_id: str | None,
+        app_metadata: dict | None,
+        write_salt: int = 1,
+        precommit_check=None,
     ) -> Commit:
         """Merge-on-read apply: ONE bucket-partitioned delta write, no
         target read, no rewrite — write amplification is O(batch) however
@@ -635,7 +681,7 @@ class LakeTable:
         version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
-        salt = getattr(self, "_write_salt", 1)
+        salt = write_salt
         part_cols = [F.col(_BUCKET_COL)]
         if salt > 1:
             # deterministic salt over (key, ts): a hot bucket's rows —
@@ -672,6 +718,11 @@ class LakeTable:
                 "files_removed": 0,
             },
         )
+        if precommit_check is not None:
+            # the caller's consistency gate: runs AFTER the data write,
+            # BEFORE the commit becomes visible — raising here leaves only
+            # vacuum-able orphans
+            precommit_check()
         self._write_commit(commit)
         return commit
 
@@ -713,17 +764,29 @@ class LakeTable:
                 fields.append(T.StructField(f.name, _promote(f.dataType, nf.dataType), True))
             else:
                 fields.append(f)
-        fields.extend(new.fields[i] for i, f in enumerate(new.fields) if f.name in by_name)
+        fields.extend(f for f in new.fields if f.name in by_name)
         return T.StructType(fields).json()
 
     def _merge_persisted(
-        self, src: DataFrame, batch_id: str | None, app_metadata: dict | None
+        self,
+        src: DataFrame,
+        batch_id: str | None,
+        app_metadata: dict | None,
+        write_salt: int = 1,
+        precommit_check=None,
     ) -> Commit:
         # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
         affected = sorted(
             r[0] for r in src.select(_BUCKET_COL).distinct().collect()
         )
-        live, _, _ = self._state()
+        # ONE state snapshot drives everything: the files read, the schema
+        # union AND the commit version (st.version + 1). Re-listing
+        # latest_version() after the read would let a concurrent commit
+        # land in between and be silently overwritten — deriving the
+        # version from the snapshot turns that race into the put-if-absent
+        # ConcurrentCommitError the commit protocol promises.
+        st = self._state_full()
+        live = st.live
         old_files = [p for p, a in live.items() if a["bucket"] in affected]
         target = self._read_files(old_files)
 
@@ -743,7 +806,7 @@ class LakeTable:
         # old rows only in pathological cases; cheap and safe)
         resolved = resolved.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
 
-        version = self.latest_version() + 1
+        version = st.version + 1
         # unique dir per ATTEMPT, not per version: two writers racing to the
         # same version must never write into the same directory (the loser's
         # mode('overwrite') would delete the winner's already-committed
@@ -757,7 +820,25 @@ class LakeTable:
             # across tasks (multiple files per bucket dir is fine — the
             # log tracks files, not dirs)
             resolved.withColumn("_pb", F.col(_BUCKET_COL))
-            .repartition(F.col(_BUCKET_COL))
+            .repartition(
+                *(
+                    [F.col(_BUCKET_COL)]
+                    + (
+                        # same hot-bucket write spreading as the MoR path
+                        [
+                            F.pmod(
+                                F.xxhash64(
+                                    *[F.col(k) for k in self.keys],
+                                    F.col(self.ts_col),
+                                ),
+                                F.lit(write_salt),
+                            )
+                        ]
+                        if write_salt > 1
+                        else []
+                    )
+                )
+            )
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(cdir)
@@ -769,7 +850,12 @@ class LakeTable:
             batch_id=batch_id,
             added=added,
             removed=old_files,
-            schema_json=resolved.drop(_BUCKET_COL).schema.json(),
+            # union with the PREVIOUS table schema: the target read covered
+            # only affected buckets, so columns living solely in untouched
+            # buckets' files must not vanish from the tracked schema
+            schema_json=self._union_schema_json(
+                st.schema_json, resolved.drop(_BUCKET_COL).schema
+            ),
             app_metadata=app_metadata or {},
             metrics={
                 "affected_buckets": len(affected),
@@ -778,6 +864,11 @@ class LakeTable:
                 "files_removed": len(old_files),
             },
         )
+        if precommit_check is not None:
+            # the caller's consistency gate: runs AFTER the data write,
+            # BEFORE the commit becomes visible — raising here leaves only
+            # vacuum-able orphans
+            precommit_check()
         self._write_commit(commit)
         return commit
 
@@ -844,7 +935,14 @@ class LakeTable:
 
     # ------------------------------------------------------ schema evolution
     def rename_column(self, old: str, new: str) -> Commit:
-        """Metadata-only rename (like Iceberg field-id rename — no rewrite)."""
+        """Metadata-only rename (like Iceberg field-id rename — no rewrite).
+        Key and ts columns are frozen in _table.json and referenced by
+        every merge/read plan — renaming one would brick the table."""
+        if old in self.keys or old == self.ts_col:
+            raise ValueError(
+                f"cannot rename {old!r}: key/ts columns are fixed at table "
+                "creation (merge, read_key and LWW all reference them)"
+            )
         version = self.latest_version() + 1
         commit = Commit(
             version=version,
@@ -877,16 +975,17 @@ class LakeTable:
         fold-down: the rewrite LWW-resolves, leaving one row per key (the
         winning tombstones included — they must keep absorbing older
         replays until expire_tombstones)."""
-        live, _, _ = self._state()
+        # one snapshot drives files AND version (see _merge_persisted)
+        st = self._state_full()
         by_bucket: dict[int, list[str]] = {}
-        for p, a in live.items():
+        for p, a in st.live.items():
             by_bucket.setdefault(a["bucket"], []).append(p)
         targets = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files_per_bucket}
         if not targets:
             return None
         old_files = [p for ps in targets.values() for p in ps]
         df = self._resolve(self._read_files(old_files))
-        version = self.latest_version() + 1
+        version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
@@ -933,12 +1032,15 @@ class LakeTable:
         buckets = [r[0] for r in expired.select(_BUCKET_COL).distinct().collect()]
         if not buckets:
             return None
-        live, _, _ = self._state()
-        old_files = [p for p, a in live.items() if a["bucket"] in buckets]
+        # one snapshot drives files AND version (see _merge_persisted):
+        # a concurrent commit after this point surfaces as
+        # ConcurrentCommitError instead of being silently overwritten
+        st = self._state_full()
+        old_files = [p for p, a in st.live.items() if a["bucket"] in buckets]
         df = self._resolve(self._read_files(old_files)).filter(
             ~((F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than)))
         )
-        version = self.latest_version() + 1
+        version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         (
@@ -964,23 +1066,38 @@ class LakeTable:
     def history(self) -> list[dict]:
         return [c.__dict__ for c in self.commits()]
 
-    def vacuum(self, retain_versions: int = 0) -> int:
+    def vacuum(self, retain_versions: int = 0, min_age_seconds: float = 3600.0) -> int:
         """Delete data files referenced by NO retained snapshot (orphans of
         losing writers included). ``retain_versions`` > 0 keeps every file
         any of the last N versions references — time travel within the
         retention window survives vacuum (the Iceberg expire-snapshots
-        retention pattern); 0 retains only the latest snapshot."""
+        retention pattern); 0 retains only the latest snapshot.
+
+        ``min_age_seconds`` guards in-flight writers (Delta's
+        deletedFileRetentionDuration analog): a writer that has finished
+        its Spark write but not yet created the log entry has unreferenced
+        files on disk — deleting them would corrupt its about-to-succeed
+        commit. Files younger than the threshold are skipped; pass 0 only
+        when no concurrent writer can exist (tests, single-process)."""
+        import time as _time
+
         latest = self.latest_version()
         keep: set[str] = set(self._state_full().live)
         for v in range(max(0, latest - retain_versions + 1), latest):
             keep.update(self._state_full(at_version=v).live)
         data_root = os.path.join(self.root, _DATA_DIR)
+        cutoff = _time.time() - max(0.0, min_age_seconds)
         removed = 0
         for dirpath, _, files in os.walk(data_root):
             for fn in files:
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, data_root)
                 if fn.endswith(".parquet") and rel not in keep:
+                    try:
+                        if os.path.getmtime(full) > cutoff:
+                            continue  # possibly an in-flight writer's file
+                    except OSError:
+                        continue  # raced with another cleaner
                     os.unlink(full)
                     removed += 1
         return removed

@@ -147,6 +147,12 @@ class IngestEngine:
     def __init__(self, spark: SparkSession, config: IngestConfig):
         self.spark = spark
         self.config = config
+        # deterministic config errors fail HERE, not as endlessly-retried
+        # per-batch warnings deep in the run loop
+        if config.cleanup not in ("none", "move", "delete"):
+            raise ValueError(f"unknown cleanup mode: {config.cleanup!r}")
+        if config.cleanup == "move" and not config.cleanup_move_dir:
+            raise ValueError("cleanup='move' requires cleanup_move_dir")
         # reference parity (data_type_mapping_error=false,
         # UnivocityFileReader.java:273-305): unparseable cells become NULL
         # and the record is quarantined — under ANSI (the Spark 4 default)
@@ -167,6 +173,27 @@ class IngestEngine:
                 merge_mode=config.merge_mode,
             )
         )
+        # an EXISTING table's frozen spec wins over the config — but a
+        # silently-drifted config would still drive the quarantine filter
+        # and planning, so mismatches are an error, not a shrug
+        drift = {
+            name: (got, want)
+            for name, got, want in (
+                ("keys", tuple(self.lake.keys), tuple(config.keys)),
+                ("ts_col", self.lake.ts_col, config.ts_col),
+                ("n_buckets", self.lake.n_buckets, config.n_buckets),
+                ("merge_mode", self.lake.merge_mode, config.merge_mode),
+            )
+            if got != want
+        }
+        if drift:
+            raise ValueError(
+                f"IngestConfig disagrees with the existing table at "
+                f"{config.table_root}: "
+                + ", ".join(
+                    f"{k}: table={a!r} config={b!r}" for k, (a, b) in drift.items()
+                )
+            )
         self.watermarks = WatermarkStore(
             spark, os.path.join(config.checkpoint_root, "watermarks")
         )
@@ -217,6 +244,14 @@ class IngestEngine:
             elif w["eof"]:
                 # already fully consumed → cleanup candidate, never re-read
                 # (AbstractPolicy.java:233-241; FsSourceTaskTest.java:260-271)
+                finished.append(f.path)
+            elif not _compressed(f.path) and f.length == w["committed_offset"]:
+                # size landed EXACTLY on the committed offset without eof:
+                # only possible when a held-back torn tail was truncated
+                # away (a normal append-in-progress keeps size > committed;
+                # a clean end-of-file committed eof=True). Nothing is owed
+                # from this file — treat as consumed, or it would sit in
+                # the listing untracked forever and never be cleaned.
                 finished.append(f.path)
         cap = self.config.files_per_trigger
         if cap and len(work) > cap:
@@ -281,6 +316,10 @@ class IngestEngine:
             # a record cap needs the offset-aware scanner: the native
             # reader always consumes whole files
             and not cfg.records_per_file_per_trigger
+            # strict final-line handling needs the scanner's hold-back:
+            # the native reader would emit a torn trailing record and the
+            # committed offset would jump past it
+            and cfg.emit_unterminated_final_line
         )
         for fmt, items in groups.items():
             if fmt in LINE_FORMATS:
@@ -318,6 +357,22 @@ class IngestEngine:
                                 else None
                             )
                         if ev is not None:
+                            if cfg.schema is None and fmt == "jsonl":
+                                # PIN the natively-inferred schema: later
+                                # triggers that tail this file (or any
+                                # grown/compressed file) go through the
+                                # offset-aware scanner, which requires an
+                                # explicit schema — without pinning, the
+                                # first append after a schemaless start
+                                # would stall the pipeline forever
+                                cfg.schema = T.StructType(
+                                    [
+                                        f
+                                        for f in ev.schema.fields
+                                        if not f.name.startswith("_src")
+                                        and f.name != "_line_no"
+                                    ]
+                                )
                             event_parts.append(ev)
                             native_paths.update(w.path for w in whole)
                             items = [w for w in items if w.path not in native_paths]
@@ -601,11 +656,55 @@ class IngestEngine:
                     }
                 )
 
+            # scanner bookkeeping never reaches the table: _src_end/_line_no
+            # exist only for offset stats (LWW ties break on
+            # _src_file/_src_offset, which ARE lineage) — merging them would
+            # store two dead int64 columns in every data file and leak them
+            # through read()
+            events = events.drop("_src_end", "_line_no")
+
+            def _stats_still_hold() -> None:
+                # persist() is a cache, not a barrier: if an executor lost
+                # cached scan partitions DURING the merge write and the
+                # recompute saw different bytes (a source file vanished
+                # mid-batch), the write is short while the already-collected
+                # offsets would still commit — silent loss. Scan ranges are
+                # pinned at planning (growth cannot change them), so
+                # re-running the cheap cached stats pass and comparing is an
+                # exact consistency check; a mismatch aborts BEFORE the
+                # commit and the batch replays cleanly.
+                if lines_df is None:
+                    return
+                again = {
+                    r["_src_file"]: (r["end"], r["cnt"], r["n_failed_ranges"])
+                    for r in lines_df.groupBy("_src_file")
+                    .agg(
+                        F.max("_src_end").alias("end"),
+                        F.count(F.when(F.col("_line_no") >= 0, 1)).alias("cnt"),
+                        F.count(
+                            F.when(F.col("_line_no") == LINE_NO_RANGE_FAILED, 1)
+                        ).alias("n_failed_ranges"),
+                    )
+                    .collect()
+                }
+                before = {
+                    r["_src_file"]: (r["end"], r["cnt"], r["n_failed_ranges"])
+                    for r in line_stats
+                }
+                if again != before:
+                    raise RuntimeError(
+                        "scan results changed between offset stats and the "
+                        "merge write (cached partitions recomputed over "
+                        "changed files) — aborting before commit; the batch "
+                        "will replay"
+                    )
+
             commit = self.lake.merge(
                 events,
                 batch_id=batch_id,
                 app_metadata={"watermarks": wm_updates, "cleanup": finished},
                 write_salt=cfg.write_salt,
+                precommit_check=_stats_still_hold,
             )
             if obs is not None:
                 # the merge's write action has run, so the metric is ready
@@ -672,7 +771,10 @@ class IngestEngine:
             try:
                 self._cleanup_one(p, mode)
                 done.append(p)
-            except (OSError, ValueError) as e:
+            except OSError as e:
+                # transient I/O only — deterministic config errors
+                # (unknown mode, missing move dir, cross-FS move) raise at
+                # __init__ or propagate here instead of retrying forever
                 import sys
 
                 print(f"kcfs: cleanup failed for {p}, will retry: {e}", file=sys.stderr)
@@ -760,7 +862,11 @@ def _fs_for_uri(uri: str):
 
 
 def _compressed(path: str) -> bool:
-    return path.endswith(".gz") or path.endswith(".bz2")
+    # single source of truth with the scanner: a new codec extension added
+    # there (e.g. .zst) must change planning semantics here too
+    from kafka_connect_fs_spark.sources.readers import _compression_of
+
+    return _compression_of(path) is not None
 
 
 def _still_exists(path: str) -> bool:
@@ -768,7 +874,9 @@ def _still_exists(path: str) -> bool:
         try:
             import pyarrow.fs as pafs
 
-            fs, p = pafs.FileSystem.from_uri(path)
+            # through the same indirection point cleanup uses, so tests
+            # substituting a fake remote FS exercise this fallback too
+            fs, p = _fs_for_uri(path)
             return fs.get_file_info(p).type != pafs.FileType.NotFound
         except Exception:
             return False

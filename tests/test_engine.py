@@ -292,7 +292,7 @@ def test_crash_during_merge_write_leaves_no_partial_state(spark, tmp_path):
 
     engine.run_once()
     assert_matches_oracle(engine, rows)
-    removed = engine.lake.vacuum()
+    removed = engine.lake.vacuum(min_age_seconds=0)
     assert removed >= 1  # orphans gone
     assert_matches_oracle(engine, rows)  # and the table is intact
 
@@ -813,3 +813,123 @@ def test_csv_comment_plus_header_plus_preamble(spark, tmp_path):
     assert res.n_events == 2, res.n_events
     got = {(r.conv_id, r.turn_idx): r.text for r in eng.lake.read().collect()}
     assert got == {("c1", 0): "hi", ("c1", 1): "yo"}
+
+
+# ----------------------------------------------- review-fix regressions (r3)
+
+
+def test_strict_final_line_mode_bypasses_native_reader(spark, tmp_path):
+    """emit_unterminated_final_line=False must hold back a torn final line
+    even for offset-0 files — the native reader would emit it as a record
+    and commit the offset past it, corrupting the record once completed."""
+    engine = make_engine(spark, tmp_path, emit_unterminated_final_line=False)
+    rows = transcript_change_events(4, 2)
+    p = str(tmp_path / "src" / "a.jsonl")
+    write_jsonl(rows[:-1], p)
+    import json as _json
+
+    last = dict(rows[-1])
+    last["ts"] = last["ts"].strftime("%Y-%m-%d %H:%M:%S")
+    line = _json.dumps(last)
+    with open(p, "a") as f:
+        f.write(line[: len(line) // 2])  # torn, no newline
+    engine.run_once()
+    assert len(table_state(engine)) == len(rows) - 1  # torn line held back
+    with open(p, "a") as f:
+        f.write(line[len(line) // 2 :] + "\n")  # complete it
+    engine.run_once()
+    assert_matches_oracle(engine, rows)  # exactly once, not as two fragments
+
+
+def test_schemaless_jsonl_pins_inferred_schema_for_tails(spark, tmp_path):
+    """schema=None: the first (native) batch pins the inferred schema so a
+    later APPEND — which needs the offset-aware scanner — still works
+    instead of stalling on 'requires an explicit schema'."""
+    engine = make_engine(spark, tmp_path, schema=None)
+    rows = transcript_change_events(6, 2)
+    half = len(rows) // 2
+    p = str(tmp_path / "src" / "grow.jsonl")
+    write_jsonl(rows[:half], p)
+    engine.run_once()
+    append_jsonl(rows[half:], p)
+    r2 = engine.run_once()  # scanner path now — must not raise
+    assert r2.n_events == len(rows) - half
+    assert_matches_oracle(engine, rows)
+
+
+def test_bad_cleanup_config_fails_at_init(spark, tmp_path):
+    with pytest.raises(ValueError):
+        make_engine(spark, tmp_path, cleanup="mvoe")
+    with pytest.raises(ValueError):
+        make_engine(spark, tmp_path, src_dir="src2", cleanup="move")  # no dir
+
+
+def test_config_drift_vs_existing_table_rejected(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(2, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    with pytest.raises(ValueError, match="disagrees with the existing table"):
+        make_engine(spark, tmp_path, keys=("session_id", "turn_idx"))
+    with pytest.raises(ValueError, match="disagrees with the existing table"):
+        make_engine(spark, tmp_path, n_buckets=99)
+
+
+def test_truncation_onto_committed_offset_finishes_file(spark, tmp_path):
+    """A file truncated EXACTLY to the committed offset (its held-back torn
+    tail removed) owes nothing — it must become a cleanup candidate, not
+    sit untracked in the listing forever."""
+    engine = make_engine(
+        spark, tmp_path, cleanup="delete", emit_unterminated_final_line=False
+    )
+    rows = transcript_change_events(3, 2)
+    p = str(tmp_path / "src" / "a.jsonl")
+    write_jsonl(rows, p)
+    committed_size = os.path.getsize(p)
+    with open(p, "a") as f:
+        f.write('{"torn')  # held-back tail: eof stays False
+    engine.run_once()
+    wm = {w.path: w for w in engine.watermarks.load().collect()}[p]
+    assert wm.eof is False and wm.committed_offset == committed_size
+    os.truncate(p, committed_size)  # writer aborts the torn record
+    engine.run_once()  # plans it as finished
+    engine.run_once()  # cleanup applies on re-encounter semantics
+    assert not os.path.exists(p)
+    assert_matches_oracle(engine, rows)
+
+
+def test_scanner_bookkeeping_columns_not_merged(spark, tmp_path):
+    engine = make_engine(spark, tmp_path)
+    rows = transcript_change_events(3, 2)
+    write_jsonl(rows, str(tmp_path / "src" / "a.jsonl"))
+    engine.run_once()
+    cols = set(engine.lake.read().columns)
+    assert "_src_end" not in cols and "_line_no" not in cols
+    # and the stored schema doesn't carry them either
+    sch = engine.lake.current_schema().fieldNames()
+    assert "_src_end" not in sch and "_line_no" not in sch
+
+
+def test_merge_precommit_check_aborts_before_commit(spark, tmp_path):
+    """A failing precommit_check leaves NO new commit — only vacuum-able
+    orphan files — and a later clean merge proceeds normally."""
+    from kafka_connect_fs_spark.plans.lake import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "pc"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=2, merge_mode="mor",
+    )
+    from tests.test_lake import edf, ev
+
+    t.merge(edf(spark, [ev("c1", 0, "ok", 1)]), "b1")
+    v = t.latest_version()
+
+    def boom():
+        raise RuntimeError("consistency check failed")
+
+    with pytest.raises(RuntimeError, match="consistency check"):
+        t.merge(edf(spark, [ev("c2", 0, "never", 2)]), "b2", precommit_check=boom)
+    assert t.latest_version() == v  # nothing committed
+    assert {r.conv_id for r in t.read().collect()} == {"c1"}
+    t.merge(edf(spark, [ev("c2", 0, "now", 3)]), "b3")
+    assert {r.conv_id for r in t.read().collect()} == {"c1", "c2"}

@@ -147,7 +147,7 @@ def test_schema_evolution_rename_column(spark, table):
 def test_vacuum_removes_dead_files(spark, table):
     table.merge(edf(spark, [ev("c1", 0, "a", 1)]), "b1")
     table.merge(edf(spark, [ev("c1", 0, "b", 2)]), "b2")
-    assert table.vacuum() >= 1
+    assert table.vacuum(min_age_seconds=0) >= 1
     assert table.read().collect()[0].text == "b"
 
 
@@ -405,7 +405,7 @@ def test_losing_writer_cannot_clobber_committed_data(spark, tmp_path, monkeypatc
     # winner's data intact and readable; loser left only orphans
     t3 = LakeTable(spark, root)
     assert [r.text for r in t3.read().collect()] == ["winner"]
-    assert t3.vacuum() >= 1  # loser's orphan files removed
+    assert t3.vacuum(min_age_seconds=0) >= 1  # loser's orphan files removed
     assert [r.text for r in t3.read().collect()] == ["winner"]
 
 
@@ -554,13 +554,13 @@ def test_vacuum_retention_preserves_time_travel(spark, table):
     c2 = table.merge(edf(spark, [ev("c1", 0, "v2", 2)]), "b2")
     c3 = table.merge(edf(spark, [ev("c1", 0, "v3", 3)]), "b3")
     # keep the last 2 versions' files: v2 and v3 readable, v1's file gone
-    table.vacuum(retain_versions=2)
+    table.vacuum(retain_versions=2, min_age_seconds=0)
     assert table.read(at_version=c3.version).collect()[0].text == "v3"
     assert table.read(at_version=c2.version).collect()[0].text == "v2"
     with pytest.raises(Exception):
         table.read(at_version=c1.version).collect()
     # full vacuum keeps only the latest
-    table.vacuum()
+    table.vacuum(min_age_seconds=0)
     assert table.read().collect()[0].text == "v3"
 
 
@@ -673,3 +673,128 @@ def test_read_changes_empty_poll_mirrors_current_schema(spark, tmp_path):
     assert set(empty.columns) == set(nonempty.columns)
     # and the union a consumer would do works without a clash
     assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
+def test_concurrent_commit_stale_snapshot_raises_not_overwrites(spark, tmp_path):
+    """CoW optimistic concurrency: a writer merging against a STALE state
+    snapshot must surface ConcurrentCommitError (put-if-absent on the
+    version derived from ITS snapshot), never silently overwrite the
+    interleaved commit."""
+    from kafka_connect_fs_spark.plans.lake import ConcurrentCommitError
+
+    root = str(tmp_path / "race")
+    ta = LakeTable.create(spark, root, keys=["conv_id", "turn_idx"], ts_col="ts", n_buckets=2)
+    ta.merge(edf(spark, [ev("c1", 0, "base", 1)]), "b0")
+    tb = LakeTable(spark, root)
+    stale = ta._state_full()  # A's view BEFORE B commits
+    tb.merge(edf(spark, [ev("c1", 0, "b-wins", 5)]), "b-B")
+    orig = ta._state_full
+    ta._state_full = lambda *a, **kw: stale  # A still acts on the stale view
+    try:
+        with pytest.raises(ConcurrentCommitError):
+            ta.merge(edf(spark, [ev("c1", 0, "a-overwrites", 9)]), "b-A")
+    finally:
+        ta._state_full = orig
+    assert LakeTable(spark, root).read().collect()[0].text == "b-wins"
+
+
+def test_read_key_int_typed_first_key(spark, tmp_path):
+    """Spark hashes int columns through a 4-byte path — the driver-side
+    bucket twin must match or read_key silently returns empty."""
+    schema = T.StructType([
+        T.StructField("num_key", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "intkey"), keys=["num_key"],
+                         ts_col="ts", n_buckets=8)
+    rows = [Row(num_key=i, text=f"t{i}", ts=ts(i)) for i in range(50)]
+    t.merge(spark.createDataFrame(rows, schema), "b1")
+    for k in (0, 7, 42, 49):
+        got = t.read_key(k).collect()
+        assert len(got) == 1 and got[0].text == f"t{k}", k
+
+
+def test_vacuum_min_age_guards_in_flight_writers(spark, table):
+    table.merge(edf(spark, [ev("c1", 0, "a", 1)]), "b1")
+    table.merge(edf(spark, [ev("c1", 0, "b", 2)]), "b2")
+    # default age guard: freshly-written unreferenced files (an in-flight
+    # writer's pre-commit output looks exactly like this) survive
+    assert table.vacuum() == 0
+    assert table.vacuum(min_age_seconds=0) >= 1
+    assert table.read().collect()[0].text == "b"
+
+
+def test_partial_checkpoint_falls_back_to_replay(spark, tmp_path):
+    """A checkpoint that is valid JSON but missing fields (older writer,
+    partial repair) must fall back to log replay, not crash reads."""
+    import json as _json
+    import os as _os
+
+    t = LakeTable.create(spark, str(tmp_path / "ck"), keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=2)
+    t.merge(edf(spark, [ev("c1", 0, "x", 1)]), "b1")
+    v = t.latest_version()
+    with open(t._ckpt_path(v), "w") as f:
+        _json.dump({"version": v, "live": {}}, f)  # missing fields
+    t2 = LakeTable(spark, str(tmp_path / "ck"))
+    assert t2.read().collect()[0].text == "x"
+
+
+def test_cow_schema_union_keeps_unaffected_bucket_columns(spark, tmp_path):
+    """A CoW merge touching only bucket B must not drop from the tracked
+    schema a column that lives solely in bucket A's files."""
+    t = LakeTable.create(spark, str(tmp_path / "cowschema"),
+                         keys=["conv_id", "turn_idx"], ts_col="ts", n_buckets=8)
+    with_extra = edf(spark, [ev("c1", 0, "a", 1)]).withColumn("extra", F.lit("x"))
+    t.merge(with_extra, "b1")
+    # find a conv that buckets differently from c1, then merge WITHOUT extra
+    for i in range(2, 30):
+        other = edf(spark, [ev(f"c{i}", 0, "b", 2)])
+        b1 = t._bucket_expr("conv_id")
+        a = with_extra.select(b1).first()[0]
+        b = other.select(t._bucket_expr("conv_id")).first()[0]
+        if a != b:
+            t.merge(other, f"b{i}")
+            break
+    else:
+        pytest.skip("no differing bucket found")
+    assert "extra" in t.current_schema().fieldNames()
+    got = {r.conv_id: r for r in t.read().collect()}
+    assert got["c1"].extra == "x"
+
+
+def test_time_travel_does_not_apply_later_renames(spark, table):
+    c1 = table.merge(edf(spark, [ev("c1", 0, "a", 1)]), "b1")
+    table.rename_column("tool", "tool_name")
+    old = table.snapshot(at_version=c1.version)
+    assert "tool" in old.columns and "tool_name" not in old.columns
+    now = table.snapshot()
+    assert "tool_name" in now.columns and "tool" not in now.columns
+
+
+def test_rename_key_or_ts_column_rejected(spark, table):
+    with pytest.raises(ValueError):
+        table.rename_column("conv_id", "cid")
+    with pytest.raises(ValueError):
+        table.rename_column("ts", "event_time")
+
+
+def test_promote_rejects_lossy_bigint_to_double(spark):
+    from kafka_connect_fs_spark.plans.lake import _promote
+
+    # int × double is lossless (32-bit fits the 53-bit mantissa)
+    assert _promote(T.IntegerType(), T.DoubleType()).simpleString() == "double"
+    with pytest.raises(ValueError):
+        _promote(T.LongType(), T.DoubleType())
+    with pytest.raises(ValueError):
+        _promote(T.FloatType(), T.LongType())
+
+
+def test_cow_write_salt_accepted(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "cowsalt"),
+                         keys=["conv_id", "turn_idx"], ts_col="ts", n_buckets=2)
+    rows = [ev("hot", i % 3, f"v{i}", i) for i in range(60)]
+    t.merge(edf(spark, rows), "b1", write_salt=4)
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got == {("hot", k): f"v{57 + k}" for k in range(3)}
