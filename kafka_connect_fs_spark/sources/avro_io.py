@@ -180,6 +180,18 @@ def _encode(out: io.BytesIO, schema, value) -> None:
 # -------------------------------------------------------------- container
 
 
+def parse_header(data: bytes) -> dict:
+    """Writer schema from a container's HEADER only (magic + metadata map)
+    — for schema inference without decoding any data block. ``data`` needs
+    only the first ~few KB of the file (pass a bounded read, not the whole
+    multi-GB container)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = _decode(buf, {"type": "map", "values": "bytes"})
+    return json.loads(meta["avro.schema"].decode("utf-8"))
+
+
 def parse_container(data: bytes) -> tuple[dict, list]:
     """Container bytes → (writer schema dict, records)."""
     buf = io.BytesIO(data)

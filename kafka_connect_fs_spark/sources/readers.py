@@ -111,7 +111,10 @@ def _open_raw(path: str):
 def _read_decompressed(path: str, limit_compressed: int | None = None) -> bytes:
     comp = _compression_of(path)
     with _open_raw(path) as f:
-        raw = f.read(limit_compressed) if limit_compressed else f.read()
+        # `is not None`, NOT truthiness: limit 0 means a zero-length
+        # snapshot (read nothing), never "no limit" — a falsy check would
+        # read bytes written AFTER the listing snapshot
+        raw = f.read(limit_compressed) if limit_compressed is not None else f.read()
     if comp == "gzip":
         return gzip.decompress(raw)
     if comp == "bz2":
@@ -156,6 +159,8 @@ def read_lines(
     with_markers: bool = False,
     rows_to_skip: int = 0,
     max_records_per_file: int = 0,
+    skip_header_line: bool = False,
+    comment_prefix: str | None = None,
 ) -> DataFrame:
     """Distributed byte-range line scan → DataFrame of raw lines + lineage.
 
@@ -168,6 +173,16 @@ def read_lines(
     NULL) so a caller tracking resume offsets can detect failed ranges and
     refuse to commit past them (the engine does).
     """
+    # the scanner splits the RAW BYTE stream on b"\n" — only sound for
+    # encodings where "\n" is the single byte 0x0A and 0x0A never appears
+    # inside another character (utf-8, latin-1, cp125x, ascii...). utf-16/
+    # utf-32 would tear code units and commit offsets mid-character.
+    if "\n".encode(encoding) != b"\n":
+        raise ValueError(
+            f"encoding {encoding!r} is not newline-byte-compatible; the "
+            "byte-range line scanner supports ASCII-supersets only "
+            "(utf-8, latin-1, ...)"
+        )
     if max_records_per_file:
         # record-cap semantics are per FILE per trigger
         # (file_reader.batch_size, AbstractFileReader.java:76-86): one
@@ -195,6 +210,8 @@ def read_lines(
                         arrow_batch_rows,
                         rows_to_skip,
                         max_records_per_file,
+                        skip_header_line,
+                        comment_prefix,
                     )
                     # success markers (OK / PARTIAL, with the consumed end
                     # position) are emitted inside _scan_one_range; the
@@ -249,6 +266,8 @@ def _scan_one_range(
     batch_rows: int,
     rows_to_skip: int = 0,
     max_records: int = 0,
+    skip_header: bool = False,
+    comment_prefix: str | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Vectorized range scan: ONE read, ONE bytes.split, numpy cumsum for
     offsets — no per-line Python loop (the reference's readLine() iterator,
@@ -377,7 +396,7 @@ def _scan_one_range(
     tparts = buf.decode(encoding, errors="replace").split("\n")[: len(parts)]
 
     emit_from = 0
-    if rows_to_skip and range_start == 0:
+    if (rows_to_skip or skip_header) and range_start == 0:
         # preamble skip (UnivocityFileReader rows_to_skip): the first N
         # lines of the FILE are consumed (offsets advance past them) but
         # never emitted. Only the range anchored at byte 0 holds them;
@@ -386,6 +405,21 @@ def _scan_one_range(
         # lines, the remainder is not re-skipped on the tail — preamble
         # formats are static files in practice.)
         emit_from = min(rows_to_skip, len(parts))
+        if skip_header and emit_from < len(parts):
+            # consume the header HERE, split-independently: per-split line
+            # numbers cannot anchor it downstream (non-zero ranges number
+            # from 0). Univocity order: comments are skipped BEFORE header
+            # detection, so the header is the first non-comment line after
+            # the preamble.
+            cb = comment_prefix.encode(encoding) if comment_prefix else None
+            while (
+                cb is not None
+                and emit_from < len(parts)
+                and parts[emit_from].startswith(cb)
+            ):
+                emit_from += 1
+            if emit_from < len(parts):
+                emit_from += 1  # the header line itself
         if emit_from == len(parts):
             yield _marker_row(
                 path,
@@ -404,7 +438,11 @@ def _scan_one_range(
 
     for lo in range(emit_from, emit_to, batch_rows):
         hi = min(lo + batch_rows, emit_to)
-        vals = pd.Series(tparts[lo:hi], dtype=object).str.rstrip("\r")
+        # strip AT MOST one trailing \r (the CRLF terminator) — rstrip
+        # would also eat carriage returns that are part of the payload
+        vals = pd.Series(tparts[lo:hi], dtype=object).str.replace(
+            r"\r$", "", regex=True
+        )
         yield pd.DataFrame(
             {
                 "_src_file": path,
@@ -477,10 +515,40 @@ def read_line_format_native(
         )
     else:
         raise ValueError(f"no native path for format: {fmt}")
+    # input_file_name() returns the PERCENT-ENCODED URI (space→%20, %→%25;
+    # '+' stays literal — so F.url_decode, which maps '+'→space, is NOT the
+    # inverse). Paths with URI-special characters get an exact driver-built
+    # encoded→raw map (bounded by this batch's files and EMPTY for ordinary
+    # paths); everything else takes the cheap prefix-strip. Without this, a
+    # native row's _src_file ('/tmp/my%20file.csv') differs from the
+    # scanner's listing path ('/tmp/my file.csv') and the LWW tie-break's
+    # new-data-wins ordering inverts.
+    import urllib.parse
+
+    def _encoded_uri(p: str) -> str:
+        safe = "/!$&'()*+,;=:@-._~"  # RFC 3986 pchar set (Java URI paths)
+        if "://" in p:
+            scheme, rest = p.split("://", 1)
+            return f"{scheme}://{urllib.parse.quote(rest, safe=safe)}"
+        return "file://" + urllib.parse.quote(p, safe=safe)
+
+    enc_map = {}
+    for p in paths:
+        enc = _encoded_uri(p)
+        if enc != (p if "://" in p else "file://" + p):  # encoding changed it
+            enc_map[enc] = p
+    src_expr = F.regexp_replace(F.input_file_name(), r"^file:/+", "/")
+    if enc_map:
+        kv: list = []
+        for k, v in enc_map.items():
+            kv += [F.lit(k), F.lit(v)]
+        src_expr = F.coalesce(
+            F.element_at(F.create_map(*kv), F.input_file_name()), src_expr
+        )
     return df.select(
         # normalize the file: URI back to the listing's raw path form so
         # LWW tie-breaks compare like with like across native and tail reads
-        F.regexp_replace(F.input_file_name(), r"^file:/+", "/").alias("_src_file"),
+        src_expr.alias("_src_file"),
         # ordinal shifted negative: monotonically_increasing_id carries the
         # partition index in its upper bits (can exceed any byte offset), so
         # ties between a native row and a LATER appended tail row (byte
@@ -536,29 +604,27 @@ def parse_csv(
     opts = {"sep": sep, "mode": "PERMISSIVE"}
     opts.update(options or {})
     comment = opts.pop("comment", None)
-    if header and (comment or rows_to_skip):
+    if header and rows_to_skip:
+        # preamble + header: the SCANNER already consumed both (read_lines
+        # skip_header_line — the only split-safe place to anchor the
+        # header, since non-zero byte ranges number their lines from 0).
+        # Only the comment filter remains to apply here.
+        if comment:
+            lines = lines.filter(~F.col("value").startswith(comment))
+    elif header and comment:
         # Univocity processes comments BEFORE header detection
         # (UnivocityFileReader.java:53): the header is the first
         # NON-comment line of a scan that started at byte 0. That needs a
-        # per-file window (comment/preamble files only — the common paths
-        # below stay windowless): flag fresh-scan files, filter comments,
-        # drop the first survivor. With a preamble (rows_to_skip) the
-        # fresh-scan anchor is _line_no == rows_to_skip — the scanner
-        # numbers lines from the file start, skipped preamble included,
-        # while a resumed tail numbers its own lines from 0, so the two
-        # cannot be confused.
+        # per-file window (comment+header files only — the common paths
+        # below stay windowless): flag fresh-scan files (some line at
+        # byte 0 — split-safe: ordering is by _src_offset), filter
+        # comments, drop the first survivor.
         from pyspark.sql import Window
 
         wf = Window.partitionBy("_src_file")
         wo = Window.partitionBy("_src_file").orderBy("_src_offset")
-        anchor = (
-            F.min("_line_no").over(wf) == rows_to_skip
-            if rows_to_skip
-            else F.min("_src_offset").over(wf) == 0
-        )
-        lines = lines.withColumn("_scan0", anchor)
-        if comment:
-            lines = lines.filter(~F.col("value").startswith(comment))
+        lines = lines.withColumn("_scan0", F.min("_src_offset").over(wf) == 0)
+        lines = lines.filter(~F.col("value").startswith(comment))
         lines = (
             lines.withColumn("_rn", F.row_number().over(wo))
             .filter(~(F.col("_scan0") & (F.col("_rn") == 1)))
@@ -700,7 +766,21 @@ def read_whole_files(spark: SparkSession, items: list[WorkItem]) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 limit = None if _compression_of(r.path) else int(r.snap_length)
-                data = _read_decompressed(r.path, limit_compressed=limit)
+                try:
+                    data = _read_decompressed(r.path, limit_compressed=limit)
+                except FileNotFoundError:
+                    # vanished between listing and read (rotation/cleanup):
+                    # skip — it will not appear in the next listing. Other
+                    # I/O errors still fail the batch: committing the full
+                    # snapshot length over a transient read failure would
+                    # be silent loss.
+                    import sys
+
+                    print(
+                        f"kcfs: whole-file source vanished, skipping: {r.path}",
+                        file=sys.stderr,
+                    )
+                    continue
                 out.append((r.path, 0, len(data), data))
             if out:
                 yield pd.DataFrame(
@@ -860,6 +940,7 @@ def read_avro_python(
     from kafka_connect_fs_spark.sources.avro_io import (
         avro_to_spark_schema,
         parse_container,
+        parse_header,
         resolve_records,
     )
 
@@ -874,9 +955,10 @@ def read_avro_python(
         if reader_schema is not None:
             schema = avro_to_spark_schema(reader_schema)
         else:
+            # header-only read for inference: decoding the whole first
+            # container driver-side would stall (or OOM) on a multi-GB file
             with _open_raw(items[0].path) as f:
-                writer_schema, _ = parse_container(f.read())
-            schema = avro_to_spark_schema(writer_schema)
+                schema = avro_to_spark_schema(parse_header(f.read(1 << 20)))
 
     files_df = read_whole_files(spark, items)
 
@@ -895,7 +977,19 @@ def read_avro_python(
         for pdf in batches:
             rows = []
             for src, content in zip(pdf["_src_file"], pdf["content"]):
-                writer_schema, records = parse_container(bytes(content))
+                try:
+                    writer_schema, records = parse_container(bytes(content))
+                except Exception as e:
+                    # poison tolerance, same policy as the other whole-file
+                    # parsers: one corrupt container (bad magic, torn block,
+                    # codec error) must not stall the pipeline forever
+                    import sys
+
+                    print(
+                        f"kcfs: skipping corrupt avro container {src}: {e}",
+                        file=sys.stderr,
+                    )
+                    continue
                 if reader_schema is not None:
                     # per-file resolution: defaults apply against THIS
                     # file's writer schema (mixed-generation directories
@@ -1039,9 +1133,9 @@ def read_sequence_file(
     for p in paths:
         rdd = sc.sequenceFile(p).map(lambda kv, _p=p: (kv[0], kv[1], _p, 0))
         parts.append(rdd)
-    union = parts[0]
-    for r in parts[1:]:
-        union = union.union(r)
+    # one balanced UnionRDD — a pairwise .union() chain builds O(files)-deep
+    # lineage and blows up driver planning at thousands of files
+    union = sc.union(parts) if len(parts) > 1 else parts[0]
     return spark.createDataFrame(union, ddl)
 
 

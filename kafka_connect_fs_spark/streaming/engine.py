@@ -378,6 +378,13 @@ class IngestEngine:
                             items = [w for w in items if w.path not in native_paths]
                             if not items:
                                 continue
+                # preamble + header: the header must be consumed by the
+                # scanner itself (split-independent anchor; see read_lines)
+                skip_hdr = bool(
+                    rows_to_skip
+                    and fmt in ("csv", "tsv")
+                    and cfg.reader_options.get("header", True)
+                )
                 lines = read_lines(
                     self.spark,
                     items,
@@ -387,6 +394,10 @@ class IngestEngine:
                     with_markers=True,
                     rows_to_skip=rows_to_skip,
                     max_records_per_file=cfg.records_per_file_per_trigger,
+                    skip_header_line=skip_hdr,
+                    comment_prefix=(cfg.reader_options.get("csv_options") or {}).get(
+                        "comment"
+                    ),
                 )
                 lines = lines.persist()
                 lines_parts.append(lines)

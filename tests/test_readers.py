@@ -599,3 +599,94 @@ def test_csv_comment_before_header_still_drops_header(spark, tmp_path):
         schema, header=True, options={"comment": "#"},
     ).orderBy("_src_offset").collect()
     assert [(r.a, r.b) for r in tail] == [(1, 2), (3, 4)]
+
+
+def test_preamble_header_consumed_split_independently(spark, tmp_path):
+    """rows_to_skip + header on a MULTI-SPLIT file: non-zero byte ranges
+    number their lines from 0, so the header can only be consumed inside
+    the scanner's range-0 scan — and must be, exactly once."""
+    p = str(tmp_path / "big.csv")
+    with open(p, "w") as f:
+        f.write("legacy exporter preamble\n")
+        f.write("# a comment before the header\n")
+        f.write("conv_id,turn_idx\n")
+        for i in range(2000):
+            f.write(f"c{i},{i}\n")
+    size = os.path.getsize(p)
+    lines = read_lines(
+        spark,
+        [WorkItem(p, 0, size)],
+        max_split_bytes=512,  # many splits
+        rows_to_skip=1,
+        skip_header_line=True,
+        comment_prefix="#",
+    )
+    vals = [r.value for r in lines.orderBy("_src_offset").collect()]
+    assert len(vals) == 2000
+    assert vals[0] == "c0,0" and "conv_id" not in vals[0]
+    assert all(not v.startswith(("legacy", "#", "conv_id")) for v in vals)
+    # offsets contiguous: first emitted line starts right after the header
+    first_off = lines.agg(F.min("_src_offset")).first()[0]
+    assert first_off == len("legacy exporter preamble\n# a comment before the header\nconv_id,turn_idx\n")
+
+
+def test_read_lines_rejects_incompatible_encoding(spark, tmp_path):
+    p = str(tmp_path / "x.txt")
+    write_lines(p, ["ab", "cd"])
+    with pytest.raises(ValueError, match="newline-byte-compatible"):
+        read_lines(spark, [WorkItem(p, 0, os.path.getsize(p))], encoding="utf-16")
+
+
+def test_single_trailing_cr_stripped_only(spark, tmp_path):
+    p = str(tmp_path / "cr.txt")
+    with open(p, "wb") as f:
+        f.write(b"payload\r\r\nplain\r\nnone\n")
+    lines = read_lines(spark, [WorkItem(p, 0, os.path.getsize(p))])
+    vals = [r.value for r in lines.orderBy("_src_offset").collect()]
+    assert vals == ["payload\r", "plain", "none"]
+
+
+def test_native_src_file_matches_listing_path_with_special_chars(spark, tmp_path):
+    """input_file_name percent-encodes; _src_file must come back as the
+    raw listing path or LWW tie-breaks compare unequal strings."""
+    import json as _json
+
+    d = tmp_path / "odd dir"
+    os.makedirs(d)
+    p = str(d / "my file+100%.jsonl")
+    with open(p, "w") as f:
+        f.write(_json.dumps({"a": 1}) + "\n")
+    from kafka_connect_fs_spark.sources.readers import read_line_format_native
+
+    df = read_line_format_native(spark, [WorkItem(p, 0, os.path.getsize(p))], "jsonl", None, None)
+    assert df.select("_src_file").first()[0] == p
+
+
+def test_avro_poison_container_skipped(spark, tmp_path):
+    from kafka_connect_fs_spark.sources.avro_io import write_container
+    from kafka_connect_fs_spark.sources.readers import read_avro_python
+
+    sch = {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]}
+    good = str(tmp_path / "good.avro")
+    write_container(good, sch, [{"x": 1}, {"x": 2}])
+    bad = str(tmp_path / "bad.avro")
+    with open(bad, "wb") as f:
+        f.write(b"Obj\x01garbage-not-a-container")
+    items = [WorkItem(p, 0, os.path.getsize(p)) for p in (good, bad)]
+    got = read_avro_python(spark, items)
+    assert sorted(r.x for r in got.collect()) == [1, 2]  # bad skipped, not fatal
+
+
+def test_whole_file_vanished_is_skipped_not_fatal(spark, tmp_path):
+    keep = str(tmp_path / "keep.yaml")
+    with open(keep, "w") as f:
+        f.write("a: 1\n")
+    gone = str(tmp_path / "gone.yaml")
+    items = [
+        WorkItem(keep, 0, os.path.getsize(keep)),
+        WorkItem(gone, 0, 10),  # listed, then vanished before read
+    ]
+    from kafka_connect_fs_spark.sources.readers import read_whole_files
+
+    rows = read_whole_files(spark, items).collect()
+    assert [r._src_file for r in rows] == [keep]
