@@ -42,9 +42,15 @@ _TEMPLATE_RE = re.compile(r"\$\{([^}]+)\}")
 
 
 def expand_dynamic_uri(uri: str, now: dt.datetime | None = None) -> str:
-    """Expand ``${yyyy}``-style date templates (AbstractPolicy.java:94-110)."""
+    """Expand ``${yyyy}``-style date templates (AbstractPolicy.java:94-110).
+
+    Default clock is LOCAL wall time, matching the reference's
+    ``LocalDateTime.now()`` (:96) — producers writing date-partitioned
+    directories almost always do so in server-local time, and a UTC
+    default would point at yesterday's partition for part of every day
+    east of Greenwich. Pass an explicit (zone-aware) ``now`` to pin it."""
     if now is None:
-        now = dt.datetime.now(dt.timezone.utc)
+        now = dt.datetime.now()
 
     def repl(m: re.Match) -> str:
         pat = m.group(1)
@@ -131,7 +137,13 @@ def _list_local(root: str, pat: re.Pattern, recursive: bool, include_hidden: boo
             else:
                 if not include_hidden and _hidden(e.name):
                     continue
-                st = e.stat()
+                try:
+                    st = e.stat()
+                except (FileNotFoundError, OSError):
+                    # vanished between scandir and stat (our own cleanup,
+                    # rotation, a dangling symlink): skip the entry, never
+                    # abort the whole discovery sweep
+                    continue
                 if statmod.S_ISREG(st.st_mode) and pat.search(e.name):
                     out.append(FileMeta(e.path, st.st_size, st.st_mtime))
     return out
@@ -143,6 +155,19 @@ def _list_pyarrow(uri: str, pat: re.Pattern, recursive: bool, include_hidden: bo
     fs, path = pafs.FileSystem.from_uri(uri)
     sel = pafs.FileSelector(path, recursive=recursive, allow_not_found=True)
     base = path.rstrip("/")
+    # Rebuild URIs with the CALLER's original prefix, not fs.type_name:
+    # the type name rewrites gs://→gcs:// (a scheme Spark/Hadoop has no
+    # handler for) and drops the hdfs://namenode:port authority entirely
+    # (later opens would bind to fs.defaultFS — potentially a different
+    # cluster). FS-agnostic: from_uri turned `uri` into `path`, so the
+    # prefix is exactly what it stripped (for s3:// that is just
+    # "s3://" — the bucket lives inside info.path; for hdfs:// it is
+    # "hdfs://nn:port").
+    norm = uri.rstrip("/")
+    if norm.endswith(path.rstrip("/")):
+        prefix = norm[: len(norm) - len(path.rstrip("/"))]
+    else:  # defensive: fall back to the old reconstruction
+        prefix = f"{fs.type_name}://"
     out = []
     for info in fs.get_file_info(sel):
         if info.type != pafs.FileType.File or not pat.search(info.base_name):
@@ -154,5 +179,8 @@ def _list_pyarrow(uri: str, pat: re.Pattern, recursive: bool, include_hidden: bo
             if any(_hidden(c) for c in rel.split("/")):
                 continue
         mtime = info.mtime.timestamp() if info.mtime else 0.0
-        out.append(FileMeta(f"{fs.type_name}://{info.path}", info.size, mtime))
+        p = info.path
+        if not prefix.endswith("/") and not p.startswith("/"):
+            p = "/" + p  # keep scheme://path well-formed either way
+        out.append(FileMeta(prefix + p, info.size, mtime))
     return out

@@ -101,11 +101,22 @@ class HdfsInotifyPolicy:
         if "://" in self.uri:
             scheme, rest = self.uri.split("://", 1)
             self._authority = f"{scheme}://{rest.split('/', 1)[0]}"
+            # the inotify stream is NAMENODE-WIDE: without a subtree gate,
+            # a CREATE anywhere in the namespace would be ingested. Watch
+            # only the configured URI's directory subtree.
+            self._subtree = "/" + rest.split("/", 1)[1] if "/" in rest else "/"
         else:
             self._authority = ""
+            self._subtree = self.uri or "/"
         self.regexp = re.compile(regexp)
         self.stat_fn = stat_fn or _stat_uri
         self.max_batches_per_poll = max_batches_per_poll
+
+    def _in_subtree(self, path: str) -> bool:
+        root = self._subtree.rstrip("/")
+        if not root:
+            return True
+        return path == root or path.startswith(root + "/")
 
     def _to_uri(self, path: str) -> str:
         if "://" in path:
@@ -123,7 +134,7 @@ class HdfsInotifyPolicy:
                 # only the copy-completion rename surfaces the dst (:157-161)
                 if ev.src_path and ev.src_path.endswith(COPY_TMP_SUFFIX):
                     paths.append(ev.dst_path)
-        return paths
+        return [p for p in paths if self._in_subtree(p)]
 
     def poll(self) -> list[FileMeta]:
         """Drain available event batches → stat'ed, regex-filtered,
@@ -131,7 +142,21 @@ class HdfsInotifyPolicy:
         ref :88-97 + the enqueue stat at :190-203)."""
         latest: dict[str, FileMeta] = {}
         for _ in range(self.max_batches_per_poll):
-            batch = self.stream.poll()
+            try:
+                batch = self.stream.poll()
+            except Exception as e:
+                # the real stream throws MissingEventsException when the
+                # namenode purged edit-log events past our read txid; the
+                # stream object cannot recover — surface a warning and
+                # stop this poll. A caller-provided reopen path (or the
+                # listing-diff fallback) covers the gap; crashing every
+                # subsequent trigger (the alternative) helps nobody.
+                print(
+                    f"kcfs: inotify stream error ({type(e).__name__}): {e} — "
+                    "events may have been missed; consider a listing sweep",
+                    file=sys.stderr,
+                )
+                break
             if batch is None:
                 break
             for path in self._paths_of(_normalize_batch(batch)):

@@ -23,6 +23,7 @@ import re
 import sys
 from dataclasses import dataclass
 from typing import Callable, Protocol
+from urllib.parse import unquote_plus
 
 from kafka_connect_fs_spark.sources.discovery import FileMeta
 
@@ -73,7 +74,14 @@ def parse_event_message(msg: QueueMessage) -> list[S3EventRecord]:
                     receipt_handle=msg.receipt_handle,
                     event_name=rec["eventName"],
                     bucket=rec["s3"]["bucket"]["name"],
-                    key=rec["s3"]["object"]["key"],
+                    # S3 delivers object keys URL-encoded ('red flower.jpg'
+                    # arrives as 'red+flower.jpg', '=' as '%3D'); stat'ing
+                    # the raw key finds nothing and the object is lost to
+                    # discovery. unquote_plus is the full inverse (the
+                    # reference only mapped '+'→space,
+                    # S3EventNotificationsPolicy.java:181 — %XX keys were
+                    # lost there too).
+                    key=unquote_plus(rec["s3"]["object"]["key"]),
                 )
             )
         except (KeyError, TypeError):
@@ -81,11 +89,28 @@ def parse_event_message(msg: QueueMessage) -> list[S3EventRecord]:
     return out
 
 
+_FS_CACHE: dict[str, object] = {}
+
+
 def _stat_uri(uri: str) -> FileMeta | None:
-    """Stat one object (the reference's fs.listFiles(path, false) probe)."""
+    """Stat one object (the reference's fs.listFiles(path, false) probe).
+    The FileSystem client is cached per scheme://authority: building a
+    fresh S3/HDFS client per stat costs connection setup per EVENT — a
+    10k-event burst would pay it 10k times per trigger."""
     import pyarrow.fs as pafs
 
-    fs, sub = pafs.FileSystem.from_uri(uri)
+    scheme_auth = uri.split("://", 1)[0] + "://" + uri.split("://", 1)[1].split("/", 1)[0]
+    cached = _FS_CACHE.get(scheme_auth)
+    if cached is None:
+        fs, sub = pafs.FileSystem.from_uri(uri)
+        # from_uri strips a FIXED prefix for a given scheme://authority
+        # ("s3://" keeps the bucket in the path; "hdfs://nn:port" strips
+        # the authority) — remember its length so later stats skip client
+        # construction entirely
+        _FS_CACHE[scheme_auth] = (fs, len(uri) - len(sub))
+    else:
+        fs, strip = cached
+        sub = uri[strip:]
     info = fs.get_file_info(sub)
     if info.type != pafs.FileType.File:
         return None
@@ -101,8 +126,19 @@ class S3EventNotificationsPolicy:
     match (Java String.matches); only events for the bucket containing the
     configured URI pass; objects that vanished between event and stat are
     warned and skipped; ``delete_messages`` acknowledges processed
-    messages regardless (redelivery is harmless anyway — the engine's
-    watermark anti-join makes discovery at-least-once-safe).
+    messages (redelivery of an already-ingested file is harmless — the
+    engine's watermark anti-join makes discovery at-least-once-safe).
+
+    ``ack_mode``:
+    - ``"at_poll"`` (reference parity, :132-135): messages are deleted as
+      soon as they are processed. A crash BETWEEN the delete and the
+      engine's commit loses that discovery (at-most-once across crashes —
+      the reference has the same window).
+    - ``"after_commit"``: deletes are deferred into ``ack_pending()``;
+      wire it to ``IngestConfig.discovery_ack_fn`` and the engine calls it
+      only after the batch's watermark commit — a crash before the commit
+      redelivers the message and the file is re-discovered (at-least-once,
+      absorbed by the watermark anti-join).
     """
 
     def __init__(
@@ -112,14 +148,19 @@ class S3EventNotificationsPolicy:
         event_regex: str = ".*",
         delete_messages: bool = True,
         stat_fn: Callable[[str], FileMeta | None] | None = None,
+        ack_mode: str = "at_poll",
     ):
         if "://" not in uri:
             raise ValueError(f"S3 events need a URI-form location, got {uri!r}")
+        if ack_mode not in ("at_poll", "after_commit"):
+            raise ValueError(f"unknown ack_mode: {ack_mode!r}")
         self.queue = queue
         self.uri = uri.rstrip("/")
         self.scheme = uri.split("://", 1)[0]
         self.event_regex = re.compile(event_regex)
         self.delete_messages = delete_messages
+        self.ack_mode = ack_mode
+        self._pending_acks: list[str] = []
         self.stat_fn = stat_fn or _stat_uri
 
     def _in_bucket(self, record: S3EventRecord) -> bool:
@@ -132,13 +173,11 @@ class S3EventNotificationsPolicy:
     def poll(self) -> list[FileMeta]:
         out: list[FileMeta] = []
         for msg in self.queue.receive_messages():
-            matched = False
             for rec in parse_event_message(msg):
                 if not self.event_regex.fullmatch(rec.event_name):
                     continue
                 if not self._in_bucket(rec):
                     continue
-                matched = True
                 uri = f"{self.scheme}://{rec.bucket}/{rec.key}"
                 try:
                     meta = self.stat_fn(uri)
@@ -147,13 +186,24 @@ class S3EventNotificationsPolicy:
                     print(f"kcfs: cannot stat '{uri}': {e}", file=sys.stderr)
                 if meta is not None:
                     out.append(meta)
-                if self.delete_messages:
-                    self.queue.delete_message(rec.receipt_handle)
-            if self.delete_messages and not matched:
-                # fully-filtered / unparseable messages are acknowledged too,
-                # or the queue would redeliver them forever
-                self.queue.delete_message(msg.receipt_handle)
+            # acknowledge ONCE per message (a multi-record message has one
+            # receipt handle), matched or not — fully-filtered/unparseable
+            # messages would otherwise redeliver forever
+            if self.delete_messages:
+                if self.ack_mode == "after_commit":
+                    self._pending_acks.append(msg.receipt_handle)
+                else:
+                    self.queue.delete_message(msg.receipt_handle)
         return out
+
+    def ack_pending(self) -> int:
+        """Delete the messages of every prior poll (ack_mode='after_commit').
+        Call after the batch commit — IngestConfig.discovery_ack_fn."""
+        n = 0
+        while self._pending_acks:
+            self.queue.delete_message(self._pending_acks.pop(0))
+            n += 1
+        return n
 
     # IngestConfig.discovery_fn takes a zero-arg callable
     __call__ = poll

@@ -134,7 +134,11 @@ class WatermarkStore:
         """
         import datetime as dt
 
-        rows = self._load_rows()
+        # start from the version-validated in-process cache (load_dict) —
+        # re-reading the full snapshot parquet every batch is exactly the
+        # per-batch cost the cache exists to remove (O(live files) at 10^6
+        # tracked files); disk is only touched on version mismatch/cold start
+        rows = dict(self.load_dict())
         for p in removed_paths or []:
             rows.pop(p, None)
         now = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
@@ -152,6 +156,21 @@ class WatermarkStore:
         ordered = sorted(rows.values(), key=lambda r: r["path"])
         table = pa.Table.from_pylist(list(ordered), schema=_ARROW_SCHEMA)
         pq.write_table(table, data_file)
+        # fsync the DATA and its directory entries before the marker: the
+        # marker's fsync alone orders nothing — a power loss could leave a
+        # durable marker pointing at a truncated/absent snapshot, making
+        # watermark state unrecoverable
+        fd = os.open(data_file, os.O_RDONLY)
+        try:
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        for d in (os.path.dirname(data_file), self.root):
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         marker = os.path.join(self.root, f"v{batch_seq:012d}.json")
         tmp = marker + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -87,6 +87,12 @@ class IngestConfig:
     # business. The watermark anti-join downstream makes any
     # at-least-once discovery source safe.
     discovery_fn: Callable[[], list] | None = None
+    # called after each batch's watermark commit — the exactly-once ack
+    # hook for deferred-ack discovery sources (e.g.
+    # S3EventNotificationsPolicy(ack_mode="after_commit").ack_pending):
+    # a crash before the commit leaves the queue messages undeleted, so
+    # the events redeliver and the watermark anti-join absorbs them
+    discovery_ack_fn: Callable[[], object] | None = None
     schema: T.StructType | None = None
     reader_options: dict = field(default_factory=dict)
     keys: tuple = ("conv_id", "turn_idx")
@@ -505,6 +511,8 @@ class IngestEngine:
             md = recovered.app_metadata or {}
             cleaned = self._cleanup(md.get("cleanup", []))
             self.watermarks.commit(md.get("watermarks", []), seq, removed_paths=cleaned)
+            if cfg.discovery_ack_fn is not None:
+                cfg.discovery_ack_fn()
             res = BatchResult(
                 batch_id, seq, len(md.get("watermarks", [])), 0,
                 recovered.metrics.get("rows_written", 0), recovered=True,
@@ -727,6 +735,10 @@ class IngestEngine:
 
         cleaned = self._cleanup(finished)
         self.watermarks.commit(wm_updates, seq, removed_paths=cleaned)
+        if cfg.discovery_ack_fn is not None:
+            # safe point: offsets are durable, so acknowledging the queue
+            # messages can no longer lose a discovery
+            cfg.discovery_ack_fn()
 
         if cfg.compact_every and seq > 0 and seq % cfg.compact_every == 0:
             self.lake.compact(min_files_per_bucket=cfg.compact_min_files_per_bucket)

@@ -195,3 +195,36 @@ def test_engine_discovery_purely_from_events(spark, tmp_path, monkeypatch):
     assert eng.run_once().n_events == 1
     got = {r.turn_idx: r.text for r in eng.lake.read().collect()}
     assert got == {0: "t0", 1: "t1", 2: "t2"}
+
+
+def test_events_outside_watched_subtree_filtered():
+    """The inotify stream is namenode-wide: only events under the
+    configured URI's directory may surface."""
+    stream = FakeStream([
+        [InotifyEvent("CREATE", path="/data/in.jsonl")],
+        [InotifyEvent("CREATE", path="/user/other_team/secret.jsonl")],
+    ])
+    pol = HdfsInotifyPolicy(
+        stream, "hdfs://nn:8020/data",
+        stat_fn=lambda u: FileMeta(u, 10, 1.0),
+    )
+    got = pol.poll()
+    assert [f.path for f in got] == ["hdfs://nn:8020/data/in.jsonl"]
+
+
+def test_stream_error_warns_and_stops_poll_not_crash():
+    class BoomStream:
+        def __init__(self):
+            self.calls = 0
+
+        def poll(self):
+            self.calls += 1
+            if self.calls == 1:
+                return [InotifyEvent("CREATE", path="/d/x.jsonl")]
+            raise RuntimeError("MissingEventsException: events purged")
+
+    pol = HdfsInotifyPolicy(
+        BoomStream(), "hdfs://nn:8020/d", stat_fn=lambda u: FileMeta(u, 1, 1.0)
+    )
+    got = pol.poll()  # must not raise
+    assert [f.path for f in got] == ["hdfs://nn:8020/d/x.jsonl"]

@@ -190,3 +190,33 @@ def test_bucket_prefix_collision_rejected():
     q2 = FakeQueue([s3_event_body("my-bucket-2", "mine.jsonl")])
     pol2 = S3EventNotificationsPolicy(q2, "s3://my-bucket-2", stat_fn=fake_stat(sizes))
     assert [f.path for f in pol2.poll()] == ["s3://my-bucket-2/mine.jsonl"]
+
+
+def test_url_encoded_keys_are_decoded():
+    """S3 delivers keys URL-encoded; the stat must see the real key or the
+    object is never ingested (and its event acknowledged away)."""
+    q = FakeQueue([s3_event_body("b", "red+flower%3D1.jsonl")])
+    seen = []
+
+    def stat(uri):
+        seen.append(uri)
+        return FileMeta(uri, 5, 1.0)
+
+    pol = S3EventNotificationsPolicy(q, "s3://b", stat_fn=stat)
+    got = pol.poll()
+    assert seen == ["s3://b/red flower=1.jsonl"]
+    assert [f.path for f in got] == ["s3://b/red flower=1.jsonl"]
+
+
+def test_ack_mode_after_commit_defers_deletes():
+    q = FakeQueue([s3_event_body("b", "a.jsonl"), s3_event_body("b", "b.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, "s3://b", stat_fn=fake_stat({"s3://b/a.jsonl": 3, "s3://b/b.jsonl": 3}),
+        ack_mode="after_commit",
+    )
+    got = pol.poll()
+    assert len(got) == 2
+    assert q.deleted == []  # nothing acknowledged yet: crash-safe window
+    assert pol.ack_pending() == 2
+    assert sorted(q.deleted) == ["rh0", "rh1"]
+    assert pol.ack_pending() == 0  # idempotent / drained
