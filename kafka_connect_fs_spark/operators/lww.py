@@ -37,8 +37,20 @@ def lww_dedup(
 
     Skew-resistant by construction: partial aggregation map-side means hot
     keys never concentrate their raw rows on one reducer.
+
+    Tiebreak columns: the DEFAULT lineage pair silently adapts to frames
+    that lack it (e.g. bare analytical tables with no _src_* columns —
+    ties then resolve arbitrarily, acceptable when ts is unique per key).
+    An EXPLICITLY-passed tiebreak with missing columns is a
+    misconfiguration (typo, renamed column) and raises — silently
+    degrading a caller's declared determinism contract is worse.
     """
     present_tb = [c for c in tiebreak if c in df.columns]
+    if tuple(tiebreak) != tuple(DEFAULT_TIEBREAK) and len(present_tb) != len(
+        tuple(tiebreak)
+    ):
+        missing = [c for c in tiebreak if c not in df.columns]
+        raise ValueError(f"lww_dedup: tiebreak columns not in frame: {missing}")
     order = F.struct(F.col(ts_col), *[F.col(c) for c in present_tb])
     payload = F.struct(*[F.col(c) for c in df.columns])
     return (

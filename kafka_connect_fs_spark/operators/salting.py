@@ -24,10 +24,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int, col_name: str = "_salt") -> DataFrame:
+def with_salt(
+    df: DataFrame,
+    n_salts: int,
+    col_name: str = "_salt",
+    hash_cols: Sequence[str] | None = None,
+) -> DataFrame:
     """Deterministic row-level salt (hash of whole row via monotonic id is
-    non-deterministic under retries; prefer hashing stable payload cols)."""
-    cols = [F.col(c) for c in df.columns]
+    non-deterministic under retries; hash stable payload cols instead).
+
+    Map-typed columns are excluded automatically — ``xxhash64`` rejects
+    MAP inputs at analysis time, and the non-algebraic payloads this
+    module exists for (maps, sketches) are exactly where that bites. Pass
+    ``hash_cols`` to pin the salt basis explicitly."""
+    if hash_cols is None:
+        hash_cols = [
+            f.name for f in df.schema.fields if f.dataType.typeName() != "map"
+        ]
+        if not hash_cols:
+            raise ValueError(
+                "with_salt: every column is MAP-typed; pass hash_cols or add "
+                "a hashable column to salt on"
+            )
+    cols = [F.col(c) for c in hash_cols]
     return df.withColumn(col_name, F.pmod(F.xxhash64(*cols), F.lit(n_salts)).cast("int"))
 
 
@@ -52,6 +71,14 @@ def salted_agg(
     ``partial`` and ``final`` each receive a grouped-ready DataFrame and
     must themselves perform groupBy(keys [+ salt_col]) — kept as callables
     so non-algebraic payloads (maps, lists, sketches) stay expressible.
+    ``keys`` pins the salt basis: the salt is hashed from the NON-key
+    hashable columns, so a hot key's rows spread across salts (hashing
+    the key alone would put the whole hot key in one salt — no spreading).
     """
-    salted = with_salt(df, n_salts, salt_col)
+    non_key = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in keys and f.dataType.typeName() != "map"
+    ]
+    salted = with_salt(df, n_salts, salt_col, hash_cols=non_key or None)
     return final(partial(salted))

@@ -46,7 +46,15 @@ def diff_schemas(
     b_fields = {f.name: f.dataType.simpleString() for f in batch_schema.fields}
     d = SchemaDiff()
     for old, new in hints.items():
-        if old in t_fields and new in b_fields and old not in b_fields:
+        # `new not in t_fields` guard: if the table ALREADY has the new
+        # column (added by an earlier batch while `old` lingered), firing
+        # the rename would create a duplicate-named field in the schema
+        if (
+            old in t_fields
+            and new in b_fields
+            and old not in b_fields
+            and new not in t_fields
+        ):
             d.renamed[old] = new
             t_fields[new] = t_fields.pop(old)
     for name, typ in b_fields.items():

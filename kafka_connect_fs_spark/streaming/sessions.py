@@ -101,12 +101,22 @@ def stateful_sessionize(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         else:
             session_no, start, end, n, vsum = 1, None, None, 0, 0.0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
+        # ONE sort over the whole micro-batch: the runtime delivers a key's
+        # rows as multiple Arrow chunks in shuffle-fetch order, so
+        # per-chunk sorting would let chunk 2 carry timestamps earlier
+        # than chunk 1's tail and move `end` backwards
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 if start is None:
                     start, end, n, vsum = ts, ts, 1, float(value)
-                elif (ts - end).total_seconds() > gap:
+                # WHOLE-SECOND gap, matching the pinned q_sessionize batch
+                # oracle (it casts ts to epoch seconds): sub-second
+                # fractions must not split sessions the oracle keeps
+                elif int(ts.timestamp()) - int(end.timestamp()) > gap:
                     out.append(
                         (user_id, session_no, n, start, end, round(vsum, 4))
                     )

@@ -33,8 +33,21 @@ def start_rotating_ingest(
     available_now: bool = True,
     path_glob: str | None = None,
     options: dict | None = None,
+    batch_id_prefix: str | None = None,
 ):
-    """readStream → foreachBatch(MERGE). Returns the StreamingQuery."""
+    """readStream → foreachBatch(MERGE). Returns the StreamingQuery.
+
+    ``batch_id_prefix`` namespaces merge batch ids per QUERY. The default
+    derives from the checkpoint dir, so a restart of the SAME query keeps
+    its replay guard while a different query (new checkpoint) into the
+    same table can never collide with epoch 0 of an earlier one — a bare
+    'stream-{n}' would silently no-op the new query's first batches."""
+    if batch_id_prefix is None:
+        import hashlib
+
+        batch_id_prefix = (
+            "stream-" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8] + "-"
+        )
     reader = (
         spark.readStream.format(fmt)
         .schema(schema)
@@ -44,14 +57,24 @@ def start_rotating_ingest(
         reader = reader.option("pathGlobFilter", path_glob)
     for k, v in (options or {}).items():
         reader = reader.option(k, v)
-    stream = reader.load(src_dir).withColumn("_src_file", F.input_file_name()).withColumn(
-        "_src_offset", F.lit(0).cast("long")
-    )
+    stream = reader.load(src_dir).withColumn("_src_file", F.input_file_name())
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        # file-order-correlated ordinal, not a constant: with a constant 0
+        # the LWW tiebreak (_src_file, _src_offset) ties exactly for two
+        # same-ts updates in one file and the winner is arbitrary. Shifted
+        # negative so a later engine-path tail read (byte offsets >= 0) of
+        # the same file still outranks these rows — same convention as the
+        # JVM-native reader. Applied HERE because monotonically_increasing_id
+        # is not allowed on a streaming frame; inside foreachBatch the
+        # frame is static.
+        batch_df = batch_df.withColumn(
+            "_src_offset",
+            (F.monotonically_increasing_id() - F.lit(1 << 62)).cast("long"),
+        )
         # idempotent under Structured Streaming's batch replay: the lake's
         # batch_id guard makes a re-delivered micro-batch a no-op
-        table.merge(batch_df, batch_id=f"stream-{batch_id:012d}")
+        table.merge(batch_df, batch_id=f"{batch_id_prefix}{batch_id:012d}")
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -91,14 +91,25 @@ class Cron:
         self.months = _parse_field(f[3], 1, 12)
         dow = _parse_field(f[4], 0, 7)
         self.dow = {d % 7 for d in dow}
+        # Vixie-cron day rule: when BOTH day fields are restricted
+        # (neither is '*'), the day matches when EITHER does — '0 0 13 * 5'
+        # means the 13th OR any Friday, not only Friday-the-13th
+        self._dom_restricted = f[2] != "*"
+        self._dow_restricted = f[4] != "*"
+
+    def _day_matches(self, t: dt.datetime) -> bool:
+        dom_ok = t.day in self.dom
+        dow_ok = (t.weekday() + 1) % 7 in self.dow  # python Mon=0 → cron Sun=0
+        if self._dom_restricted and self._dow_restricted:
+            return dom_ok or dow_ok
+        return dom_ok and dow_ok
 
     def matches(self, t: dt.datetime) -> bool:
         return (
             t.minute in self.minutes
             and t.hour in self.hours
-            and t.day in self.dom
             and t.month in self.months
-            and (t.weekday() + 1) % 7 in self.dow  # python Mon=0 → cron Sun=0
+            and self._day_matches(t)
         )
 
     def next_fire(self, after: dt.datetime) -> dt.datetime:
@@ -158,7 +169,13 @@ class CronPolicy(Policy):
             nxt = self.cron.next_fire(now)
             if self.end_date and nxt > self.end_date:
                 return
-            self._sleeper(max(0.0, (nxt - now).total_seconds()))
+            remaining = max(0.0, (nxt - now).total_seconds())
+            # chunked sleep so interrupt() takes effect within ~1s, not
+            # after the full (possibly hours-long) wait to the next fire
+            while remaining > 0 and not self._interrupted:
+                step = min(remaining, 1.0)
+                self._sleeper(step)
+                remaining -= step
             if self._interrupted:
                 return
             yield n

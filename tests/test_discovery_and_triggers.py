@@ -134,7 +134,10 @@ def test_cron_policy_fires_until_end_date():
     )
     fires = list(p.triggers())
     assert len(fires) == 3  # 0:01, 0:02, 0:03 then past end_date
-    assert slept[0] == 30.0
+    # sleeps are CHUNKED (≤1s) so interrupt() is honored promptly even for
+    # fires hours away; total slept time still spans exactly the schedule
+    assert all(s <= 1.0 for s in slept)
+    assert sum(slept) == 30.0 + 60.0 + 60.0
 
 
 def test_cron_invalid_expr():
@@ -153,3 +156,19 @@ def test_hidden_files_and_staging_dirs_skipped(tmp_path):
     assert found == ["data.jsonl"]
     all_found = {os.path.basename(f.path) for f in list_files(str(tmp_path), include_hidden=True)}
     assert "part-00000.jsonl" in all_found and "_SUCCESS" in all_found
+
+
+def test_cron_vixie_day_or_rule():
+    """When BOTH day fields are restricted, standard (Vixie) cron fires
+    when EITHER matches: '0 0 13 * 5' = the 13th OR any Friday."""
+    c = Cron("0 0 13 * 5")
+    assert c.matches(dt.datetime(2024, 5, 13, 0, 0))  # a Monday the 13th
+    assert c.matches(dt.datetime(2024, 5, 17, 0, 0))  # a Friday the 17th
+    assert not c.matches(dt.datetime(2024, 5, 14, 0, 0))  # Tuesday the 14th
+    # single-restricted fields keep AND semantics
+    c2 = Cron("0 0 13 * *")
+    assert c2.matches(dt.datetime(2024, 5, 13, 0, 0))
+    assert not c2.matches(dt.datetime(2024, 5, 17, 0, 0))
+    c3 = Cron("0 0 * * 5")
+    assert c3.matches(dt.datetime(2024, 5, 17, 0, 0))
+    assert not c3.matches(dt.datetime(2024, 5, 13, 0, 0))

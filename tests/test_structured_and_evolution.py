@@ -159,3 +159,43 @@ def test_engine_schema_evolution_add_and_rename(spark, tmp_path):
     assert len(evolved) == 3 and all(t.endswith(":evolved") for t in evolved)
     # untouched rows survive with null quality
     assert df.where(F.col("quality").isNull()).count() == 8 - 3
+
+
+def test_rename_hint_skipped_when_table_already_has_new_column():
+    """A stale rename hint must not fire once the table holds BOTH names —
+    renaming would create a duplicate-named field."""
+    old = T.StructType([
+        T.StructField("b", T.StringType()), T.StructField("c", T.StringType()),
+    ])
+    new = T.StructType([T.StructField("c", T.StringType())])
+    d = diff_schemas(old, new, rename_hints={"b": "c"})
+    assert d.renamed == {}
+    assert d.removed == ["b"]
+
+
+def test_salted_agg_with_map_payload_column(spark):
+    """The advertised non-algebraic use case: a MAP payload column must
+    not crash the salt hash (xxhash64 rejects MAP inputs)."""
+    df = spark.createDataFrame(
+        [("hot", {"a": i}) for i in range(100)], "k string, payload map<string,int>"
+    )
+    out = salted_agg(
+        df,
+        ["k"],
+        partial=lambda d: d.groupBy("k", "_salt").agg(
+            F.count("*").alias("pc")
+        ),
+        final=lambda d: d.groupBy("k").agg(F.sum("pc").alias("n")),
+        n_salts=4,
+    )
+    assert {r.k: r.n for r in out.collect()} == {"hot": 100}
+
+
+def test_lww_explicit_missing_tiebreak_raises(spark):
+    from kafka_connect_fs_spark.operators.lww import lww_dedup
+
+    df = spark.createDataFrame([("k", 1, "x")], "k string, ts long, v string")
+    with pytest.raises(ValueError, match="tiebreak columns not in frame"):
+        lww_dedup(df, ["k"], "ts", tiebreak=("no_such_col",))
+    # default tiebreak still adapts silently for lineage-less frames
+    assert lww_dedup(df, ["k"], "ts").count() == 1
