@@ -74,14 +74,17 @@ def real_decoder_stub(kind: str, content: bytes) -> dict:
 def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
     """Decode + featurize media rows — Arrow-batched, executor-side only.
 
-    Partitioning note: binary payloads make rows wide; keep
-    spark.sql.execution.arrow.maxRecordsPerBatch small (the ``batch_rows``
-    repartition below bounds per-task memory at ~batch_rows × payload size).
+    Memory bound: the INPUT Arrow chunk size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch (session.py sets 10k);
+    ``batch_rows`` additionally caps how many decoded OUTPUT rows
+    accumulate before a yield, so one task never materializes more than
+    ~batch_rows decoded payloads at once however the input is chunked.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in FEATURE_SCHEMA.fields]
+        out: list = []
         for pdf in batches:
-            out = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
                 decoded = DECODERS[r.kind](r.kind, content)
@@ -97,8 +100,11 @@ def extract_features(media: DataFrame, batch_rows: int = 256) -> DataFrame:
                         decoded["feature"],
                     )
                 )
-            if out:
-                yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+                if len(out) >= batch_rows:
+                    yield pd.DataFrame(out, columns=cols)
+                    out = []
+        if out:
+            yield pd.DataFrame(out, columns=cols)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
 

@@ -81,28 +81,10 @@ def _hyperplane_signs(table: int, plane: int, dim: int) -> list[int]:
     ]
 
 
-def _quantize(vec: Column) -> Column:
-    """floor(double(x) * QUANT) as long: float32→double widening is exact
-    and floor-of-double is engine-exact, so the projection below is pure
-    int64 arithmetic — its sign can NEVER flip between engines (the float
-    dot product could, at near-zero projections)."""
-    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT).cast("long"))
-
-
-def _hyperplane_sign(vec: Column, table: int, plane: int, dim: int) -> Column:
-    signs = F.array(*[F.lit(s).cast("long") for s in _hyperplane_signs(table, plane, dim)])
-    proj = F.aggregate(
-        F.zip_with(_quantize(vec), signs, lambda x, s: x * s),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return (proj >= 0).cast("int")
-
-
-def lsh_bucket(vec: Column, table: int, n_planes: int, dim: int) -> Column:
-    """n_planes sign bits → bucket id string for one hash table."""
-    bits = [_hyperplane_sign(vec, table, p, dim).cast("string") for p in range(n_planes)]
-    return F.concat_ws("", F.lit(str(table)), F.lit("#"), *bits)
+# NOTE: the quantization contract lives in ONE implementation
+# (_lsh_buckets_pandas below: floor(x*QUANT) int64 projections against
+# md5-derived ±1 planes); a former Column-based twin was removed so the
+# engine-exactness contract with the DuckDB oracle cannot silently drift.
 
 
 def _lsh_buckets_pandas(df: DataFrame, vec_col: str, n_tables: int, n_planes: int, dim: int) -> DataFrame:
@@ -123,17 +105,22 @@ def _lsh_buckets_pandas(df: DataFrame, vec_col: str, n_tables: int, n_planes: in
 
     @pandas_udf("array<string>")
     def buckets(v: pd.Series) -> pd.Series:
-        V = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
-        Vq = np.floor(V * QUANT).astype(np.int64)  # same quantization as _quantize
-        bits = (Vq @ H.T) >= 0  # [n, tables*planes], integer-exact signs
-        out = []
-        for row in bits:
-            out.append(
-                [
+        # null-tolerant: a NULL embedding gets NO buckets (empty list — the
+        # explode downstream drops it), matching cosine_topk's null
+        # tolerance instead of crashing the task on np.asarray(None)
+        vals = list(v)
+        ok = [i for i, x in enumerate(vals) if x is not None and len(x) == dim]
+        out = [[] for _ in vals]
+        if ok:
+            V = np.asarray([np.asarray(vals[i], dtype=np.float64) for i in ok])
+            Vq = np.floor(V * QUANT).astype(np.int64)  # floor(x*QUANT) contract
+            bits = (Vq @ H.T) >= 0  # [n, tables*planes], integer-exact signs
+            for j, i in enumerate(ok):
+                row = bits[j]
+                out[i] = [
                     f"{t}#" + "".join("1" if b else "0" for b in row[t * n_planes : (t + 1) * n_planes])
                     for t in range(n_tables)
                 ]
-            )
         return pd.Series(out)
 
     return df.withColumn("_buckets", buckets(F.col(vec_col)))
@@ -200,8 +187,19 @@ def ivf_topk(
     import numpy as np
 
     cent_rows = (
-        corpus.select(n_id, vec_n).orderBy(n_id).limit(n_centroids).collect()
+        corpus.select(n_id, vec_n)
+        .where(F.col(vec_n).isNotNull())
+        .orderBy(n_id)
+        .limit(n_centroids)
+        .collect()
     )
+    if not cent_rows:  # empty corpus → empty result (lsh_topk parity)
+        return queries.select(
+            F.col(q_id),
+            F.lit(None).cast(corpus.schema[n_id].dataType.simpleString()).alias(n_id),
+            F.lit(None).cast("double").alias("cos_sim"),
+            F.lit(None).cast("int").alias("rank"),
+        ).limit(0)
     ids = [r[0] for r in cent_rows]
     Q = _quantize_np([list(r[1]) for r in cent_rows])  # [K, dim] int64
     S = (Q.astype(object) ** 2).sum(axis=1)  # exact int sums of squares
@@ -212,14 +210,23 @@ def ivf_topk(
 
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<long>")
+    # centroid ids keep the CORPUS id type (string ids work like the other
+    # two top-k variants — np.int64 coercion would crash on them)
+    id_type = corpus.schema[n_id].dataType.simpleString()
+
+    @pandas_udf(f"array<{id_type}>")
     def probe(v: pd.Series) -> pd.Series:
-        Vq = _quantize_np([np.asarray(x) for x in v])
-        scores = Vq @ C.T  # [n, K] int64 — sign/ties engine-exact
-        order = np.argsort(-scores, axis=1, kind="stable")  # ties → lowest ordinal
-        top = order[:, :n_probe]
-        id_arr = np.asarray(ids, dtype=np.int64)
-        return pd.Series([id_arr[row].tolist() for row in top])
+        vals = list(v)
+        ok = [i for i, x in enumerate(vals) if x is not None]
+        out = [[] for _ in vals]  # null vector → no probes → no candidates
+        if ok:
+            Vq = _quantize_np([np.asarray(vals[i]) for i in ok])
+            scores = Vq @ C.T  # [n, K] int64 — sign/ties engine-exact
+            order = np.argsort(-scores, axis=1, kind="stable")  # ties → lowest ordinal
+            top = order[:, :n_probe]
+            for j, i in enumerate(ok):
+                out[i] = [ids[c] for c in top[j]]
+        return pd.Series(out)
 
     assigned = corpus.withColumn("_cid", probe(F.col(vec_n))[0])
     probed = queries.withColumn("_cid", F.explode(probe(F.col(vec_q))))
@@ -248,11 +255,16 @@ def lsh_topk(
     """Approximate top-k: bucket-join per hash table, exact re-rank within
     candidates. Recall grows with n_tables; cost stays ~linear in corpus."""
     if dim is None:
-        first = queries.select(F.size(F.col(vec_q))).first()
-        if first is None:  # empty query set → empty result, like cosine_topk
+        first = (
+            queries.where(F.col(vec_q).isNotNull())
+            .select(F.size(F.col(vec_q)))
+            .first()
+        )
+        if first is None:  # empty/all-null query set → empty result
+            n_id_type = corpus.schema[n_id].dataType.simpleString()
             return queries.select(
                 F.col(q_id),
-                F.lit(None).cast("long").alias(n_id),
+                F.lit(None).cast(n_id_type).alias(n_id),
                 F.lit(None).cast("double").alias("cos_sim"),
                 F.lit(None).cast("int").alias("rank"),
             ).limit(0)
@@ -303,7 +315,11 @@ def embedding_near_pairs_lsh(
     the DuckDB oracle reproduces pairs exactly; recall on planted
     near-dups is gated separately in tests."""
     if dim is None:
-        first = df.select(F.size(F.col(vec_col))).first()
+        first = (
+            df.where(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)))
+            .first()
+        )
         if first is None:
             return df.select(
                 F.col(id_col).alias("id_a"),

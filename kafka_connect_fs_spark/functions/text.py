@@ -88,14 +88,19 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(text: Column) -> Column:
     """Normalized-content fingerprint: md5(lower + whitespace-collapsed).
-    Matching SQL: md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
-    return F.md5(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+    EXPLICIT whitespace class, not \\s: Java regex counts \\x0B (vertical
+    tab) as \\s while DuckDB's RE2 does not — a document containing one
+    would hash differently per engine. The explicit class is identical in
+    both. Matching SQL uses the same class."""
+    return F.md5(F.regexp_replace(F.lower(text), r"[ \t\n\r\f\x0B]+", " "))
 
 
 # BPE-ish pre-tokenizer: letter runs, digit runs, single punctuation marks
-# (the GPT-2 pre-tokenizer's shape minus lookarounds, so Java regex and
-# RE2 agree). Whitespace is never a token.
-BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+# (the GPT-2 pre-tokenizer's shape minus lookarounds). Whitespace is never
+# a token — via an EXPLICIT class: Java's \\s includes \\x0B, RE2's does
+# not, so \\s would make the count engine-dependent on vertical tabs.
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]"
 
 
 def token_count_bpe(text: Column) -> Column:

@@ -716,7 +716,7 @@ def q_text_token_stats_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TEXT_TOKEN_STATS_BPE = r"""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_ws_tokens,
-       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]')) AS n_bpe_tokens
 FROM documents
 """
 
@@ -796,7 +796,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DOC_FINGERPRINT = """
-SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 

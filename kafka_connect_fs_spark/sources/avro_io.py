@@ -82,7 +82,10 @@ def _decode(buf: io.BytesIO, schema) -> object:
     if t == "null":
         return None
     if t == "boolean":
-        return buf.read(1) == b"\x01"
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated boolean")  # never fabricate False at EOF
+        return b == b"\x01"
     if t in ("int", "long"):
         return _read_long(buf)
     if t == "float":
@@ -98,7 +101,10 @@ def _decode(buf: io.BytesIO, schema) -> object:
     if t == "enum":
         return schema["symbols"][_read_long(buf)]
     if t == "fixed":
-        return buf.read(schema["size"])
+        data = buf.read(schema["size"])
+        if len(data) != schema["size"]:
+            raise EOFError("truncated fixed")  # short read must not pass as data
+        return data
     if t == "array":
         out = []
         while True:
@@ -126,14 +132,43 @@ def _decode(buf: io.BytesIO, schema) -> object:
     raise ValueError(f"unsupported avro type: {t!r}")
 
 
+_BRANCH_PY_TYPES = {
+    "boolean": (bool,),
+    "int": (int,),
+    "long": (int,),
+    "float": (float, int),
+    "double": (float, int),
+    "bytes": (bytes, bytearray),
+    "fixed": (bytes, bytearray),
+    "string": (str,),
+    "record": (dict,),
+    "map": (dict,),
+    "array": (list, tuple),
+    "enum": (str,),
+}
+
+
+def _branch_accepts(branch, value) -> bool:
+    bt = branch if isinstance(branch, str) else branch["type"]
+    if bt == "null":
+        return value is None
+    pts = _BRANCH_PY_TYPES.get(bt)
+    if pts is None:
+        return True  # nested union etc. — let recursion decide
+    # bool is an int subclass: don't let True match an int branch ahead of
+    # a boolean branch (and vice versa)
+    if isinstance(value, bool) and bt != "boolean":
+        return False
+    return isinstance(value, pts)
+
+
 def _encode(out: io.BytesIO, schema, value) -> None:
-    if isinstance(schema, list):  # union: pick first matching branch
+    if isinstance(schema, list):
+        # union: pick the branch whose Avro type MATCHES the value's Python
+        # type — "first non-null" would mis-encode ["string","int"] given 3
+        # (crash or corrupt), even though _decode handles such unions fine
         for i, branch in enumerate(schema):
-            bt = branch if isinstance(branch, str) else branch["type"]
-            if value is None and bt == "null":
-                _write_long(out, i)
-                return
-            if value is not None and bt != "null":
+            if _branch_accepts(branch, value):
                 _write_long(out, i)
                 _encode(out, branch, value)
                 return
@@ -224,6 +259,10 @@ def write_container(
     path: str, schema: dict, records: list, codec: str = "null", block_size: int = 64
 ) -> None:
     """Test helper: records → container file (multi-block, optional deflate)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(
+            f"unsupported avro codec: {codec!r} (write supports null/deflate)"
+        )  # failing here beats stamping a codec every reader will reject
     sync = bytes((i * 37 + 11) % 256 for i in range(16))  # deterministic
     out = io.BytesIO()
     out.write(MAGIC)

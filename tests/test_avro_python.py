@@ -202,3 +202,50 @@ def test_reader_schema_defaults_materialize(spark, tmp_path):
                     {"name": "raw", "type": "bytes", "default": "ab"}]},
     )
     assert wd == {"raw": b"ab"}
+
+
+def test_union_encode_matches_value_type():
+    """Multi-branch non-null unions must encode by the VALUE's type, not
+    the first non-null branch (["string","int"] given 3 used to crash)."""
+    import io
+
+    from kafka_connect_fs_spark.sources.avro_io import _decode, _encode
+
+    for schema, values in [
+        (["string", "int"], ["abc", 3]),
+        (["int", "string"], [7, "xyz"]),
+        (["null", "boolean", "long"], [None, True, 5]),
+    ]:
+        for v in values:
+            out = io.BytesIO()
+            _encode(out, schema, v)
+            out.seek(0)
+            assert _decode(out, schema) == v, (schema, v)
+
+
+def test_truncated_trailing_boolean_raises_not_fabricates():
+    import io
+
+    from kafka_connect_fs_spark.sources.avro_io import _decode
+
+    schema = {"type": "record", "name": "R", "fields": [
+        {"name": "x", "type": "long"}, {"name": "b", "type": "boolean"}]}
+    good = io.BytesIO()
+    from kafka_connect_fs_spark.sources.avro_io import _encode
+    _encode(good, schema, {"x": 1, "b": True})
+    data = good.getvalue()
+    assert _decode(io.BytesIO(data), schema) == {"x": 1, "b": True}
+    with pytest.raises(EOFError):
+        _decode(io.BytesIO(data[:-1]), schema)  # boolean byte missing
+
+
+def test_write_container_rejects_unknown_codec(tmp_path):
+    from kafka_connect_fs_spark.sources.avro_io import write_container
+
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        write_container(
+            str(tmp_path / "x.avro"),
+            {"type": "record", "name": "R", "fields": [{"name": "x", "type": "long"}]},
+            [{"x": 1}],
+            codec="snappy",
+        )

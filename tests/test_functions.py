@@ -318,3 +318,47 @@ def test_embedding_near_pairs_lsh_recall_and_no_all_pairs(spark):
     # plan shape: bucket join, not a cartesian product
     plan = embedding_near_pairs_lsh(e, threshold=0.9)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_text_functions_engine_parity_on_vertical_tab(spark):
+    """Java's \\s includes \\x0B, RE2's does not — the explicit whitespace
+    classes must make fingerprint and BPE counts engine-identical on
+    documents containing a vertical tab."""
+    import duckdb
+
+    doc = "hello\x0bworld  two"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    fp = df.select(TX.fingerprint(F.col("text")).alias("f")).first().f
+    nb = df.select(TX.token_count_bpe(F.col("text")).alias("n")).first().n
+    con = duckdb.connect()
+    o_fp = con.execute(
+        "SELECT md5(regexp_replace(lower(?), '[ \t\n\r\f\x0B]+', ' ', 'g'))", [doc]
+    ).fetchone()[0]
+    o_nb = con.execute(
+        "SELECT len(regexp_extract_all(?, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \t\n\r\f\x0B]'))",
+        [doc],
+    ).fetchone()[0]
+    assert fp == o_fp
+    assert nb == o_nb == 3  # hello, world, two — \x0B is whitespace in both
+
+
+def test_lsh_and_ivf_tolerate_null_vectors_and_string_ids(spark):
+    from kafka_connect_fs_spark.functions.similarity import ivf_topk, lsh_topk
+
+    corpus = spark.createDataFrame(
+        [(f"doc-{i:03d}", [float((i * 7 + j) % 5) for j in range(8)]) for i in range(30)]
+        + [("doc-null", None)],
+        "n_id string, nv array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q-1", [1.0] * 8), ("q-null", None)], "q_id string, qv array<double>"
+    )
+    for fn in (lsh_topk, ivf_topk):
+        got = fn(queries, corpus, k=3)
+        rows = got.collect()  # must not crash on nulls or string ids
+        assert all(r.q_id == "q-1" for r in rows)  # null query yields nothing
+        assert all(isinstance(r.n_id, str) for r in rows)
+    # empty corpus: both return empty with the corpus id type
+    empty = corpus.limit(0)
+    assert lsh_topk(queries, empty, k=3).count() == 0
+    assert ivf_topk(queries, empty, k=3).count() == 0
