@@ -211,7 +211,7 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAKE_CACHE: dict[str, str] = {}  # sf_dir -> built lake root (process-lifetime)
 
 
-def _build_split_lake(spark: SparkSession, sf_dir: str, with_quality: bool = True):
+def _build_split_lake(spark: SparkSession, sf_dir: str):
     """Two-batch MoR lake from transcript events, split at Jan 16 (mid-span
     of the generated month): batch 1 = earlier half, batch 2 = later half
     carrying an extra `quality` column (schema evolution). ``_src_offset``
@@ -1315,7 +1315,9 @@ def q_cobol_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         [WorkItem(path, 0, os.path.getsize(path))],
         {"copybook_content": _COBOL_EV_CPY, "schema_policy": "collapse_root",
-         "input_split_size_mb": 0},  # force multi-split: the distributed plan
+         # ~10 KB splits: a dozen multi-record tasks exercise the
+         # distributed plan (0 would degrade to one task PER RECORD)
+         "input_split_size_mb": 0.01},
     )
     return df.select(
         F.col("EVENT_ID").alias("event_id"),

@@ -74,7 +74,7 @@ class CobolOptions:
         self.trim = str(o.get("string_trimming_policy", "both"))
         self.float_format = str(o.get("floating_point_format", "ibm"))
         self.debug = str(o.get("debug_fields_policy", "none")) == "raw"
-        self.split_size_mb = int(o.get("input_split_size_mb", 64))
+        self.split_size_mb = float(o.get("input_split_size_mb", 64))
 
 
 def _bool(v) -> bool:
@@ -222,7 +222,7 @@ def _plan_tasks(
     items: list[WorkItem], lrecl: int, opts: CobolOptions
 ) -> list[tuple[str, int, int]]:
     tasks = []
-    chunk = max(opts.split_size_mb * 1024 * 1024 // lrecl, 1) * lrecl
+    chunk = max(int(opts.split_size_mb * 1024 * 1024) // lrecl, 1) * lrecl
     for w in items:
         if w.snap_length <= 0:
             continue
@@ -289,8 +289,14 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
     if opts.schema_policy == "collapse_root":
         top = root.children[0]
         cols = []
-        for c in top.children:
-            cols.extend(build(c, top.name.lower()))
+        if top.is_group:
+            for ch in top.children:
+                cols.extend(build(ch, top.name.lower()))
+        else:
+            # elementary 01-level record: "collapsing" it means the field
+            # itself becomes the (single) top-level column — iterating
+            # children would silently drop all data
+            cols.extend(build(top, ""))
         return flat_df.select(*cols, *lineage)
     cols = []
     for c in root.children:

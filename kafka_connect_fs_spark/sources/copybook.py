@@ -189,7 +189,10 @@ def _parse_pic(raw: str) -> Picture:
 def _tokenize(text: str, fixed: bool | None = None) -> list[list[str]]:
     src = " ".join(_strip_columns(text, fixed))
     for a, b in _TOKEN_FIXES:
-        src = re.sub(a, b, src, flags=re.IGNORECASE)
+        # boundaries that also exclude '-' : the usage keyword
+        # PACKED-DECIMAL must not rewrite inside a field NAME like
+        # PACKED-DECIMAL-FLAG (plain \b would, since '-' is non-word)
+        src = re.sub(rf"(?<![\w-]){a}(?![\w-])", b, src, flags=re.IGNORECASE)
     # statements end with '.' followed by whitespace/EOF
     stmts = re.split(r"\.(?:\s+|$)", src)
     return [s.split() for s in stmts if s.strip()]
@@ -284,7 +287,17 @@ def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
         n_data += 1
     if not n_data or not root.children:
         raise CopybookError("Copybook has no data items")
-    _layout(root)
+    # multiple 01-level records are record VARIANTS of one file: they
+    # OVERLAY at offset 0 (implicit REDEFINES of each other, the Cobrix
+    # multi-root rule) — laying them out sequentially would double the
+    # record length and decode the later variants from the wrong bytes
+    for top in root.children:
+        top.offset = 0
+        if top.is_group:
+            _layout(top)
+        else:
+            top.size = _field_size(top)
+    root.size = max(c.offset + c.extent for c in root.children)
     return root
 
 
@@ -374,6 +387,12 @@ def flatten(root: Field) -> list[Leaf]:
             if f.is_group:
                 for c in f.children:
                     walk(c, start + (c.offset - f.offset), p)
+            elif f.name == "FILLER":
+                # FILLER occupies layout bytes but is NOT output (Cobrix
+                # drops fillers too); emitting them would collide — every
+                # FILLER in a group flattens to the same column name, and
+                # the decode dict would silently keep only the last one
+                pass
             else:
                 flat = "__".join(
                     n if i is None else f"{n}_{i}" for n, i in p
@@ -466,6 +485,21 @@ def _display_number(m: np.ndarray, leaf: Leaf, ebcdic: bool, e2a: np.ndarray) ->
             txt = txt.where(
                 ~trail, txt.str[-1:].where(txt.str[-1:] == "-", "") + txt.str[:-1]
             )
+        if not pic.scale and "." not in pic.raw:
+            # integer pictures: parse through python int, NOT to_numeric —
+            # one unparseable row in the batch coerces to float64 and
+            # silently rounds 16-18 digit values above 2**53
+            def _int_or_none(s):
+                try:
+                    return int(s)
+                except (TypeError, ValueError):
+                    return None
+
+            vals = pd.array([_int_or_none(s) for s in txt], dtype="Int64")
+            vals = pd.Series(vals)
+            if pic.edited:
+                vals = vals.where(~crdb, -vals)
+            return vals
         vals = pd.to_numeric(txt, errors="coerce")
         if pic.edited:
             vals = vals.where(~crdb, -vals)
@@ -528,9 +562,25 @@ def _binary(m: np.ndarray, leaf: Leaf) -> pd.Series:
     pic = f.pic
     size = f.size
     sl = np.ascontiguousarray(_slice(m, leaf.offset, size))
+    # out-of-precision -> null (the reference's Cobrix returns null when a
+    # binary value exceeds its picture's digits; CobolFileReaderTest
+    # expects the REDEFINES misread TAXPAYER_NUM to be null).
+    # The precision check runs in the RAW dtype domain BEFORE any int64
+    # cast: an unsigned 8-byte value >= 2**63 would wrap negative under
+    # astype(int64) and np.abs would overflow right past the check.
     if size in (2, 4, 8):
         dt = {2: ">i2", 4: ">i4", 8: ">i8"}[size] if pic.signed else {2: ">u2", 4: ">u4", 8: ">u8"}[size]
-        vals = sl.view(dt).ravel().astype(np.float64 if pic.digits > 18 else np.int64)
+        raw = sl.view(dt).ravel()
+        if pic.digits > 18:
+            vals = raw.astype(np.float64)
+            bad = np.abs(vals) >= float(10 ** pic.digits)
+        else:
+            limit = 10 ** pic.digits  # <= 10^18: fits int64 AND uint64
+            if pic.signed:
+                bad = (raw >= limit) | (raw <= -limit)
+            else:
+                bad = raw >= np.uint64(limit)
+            vals = np.where(bad, 0, raw).astype(np.int64)
     else:
         vals = np.array(
             [
@@ -539,11 +589,7 @@ def _binary(m: np.ndarray, leaf: Leaf) -> pd.Series:
             ],
             dtype=np.float64,
         )
-    # out-of-precision -> null (the reference's Cobrix returns null when a
-    # binary value exceeds its picture's digits; CobolFileReaderTest
-    # expects the REDEFINES misread TAXPAYER_NUM to be null)
-    limit = float(10 ** pic.digits) if pic.digits > 18 else 10 ** pic.digits
-    bad = np.abs(vals) >= limit
+        bad = np.abs(vals) >= float(10 ** pic.digits)
     vals = np.where(bad, 0, vals)
     if pic.scale:
         out = pd.Series(vals / (10.0 ** pic.scale), dtype="float64")
@@ -631,7 +677,12 @@ def encode_records(
         for leaf in leaves:
             f = leaf.f
             pic = f.pic
+            has_key = leaf.flat in row or leaf.f.name.lower() in row
             v = row.get(leaf.flat, row.get(leaf.f.name.lower()))
+            if f.redefines and not has_key:
+                # an absent REDEFINES overlay must not clobber the
+                # redefined sibling's already-written bytes with defaults
+                continue
             if f.usage in ("comp1", "comp2"):
                 raise CopybookError("encode_records does not support COMP-1/2")
             if pic and pic.kind == "num":
@@ -639,10 +690,15 @@ def encode_records(
                     iv = 0
                 elif isinstance(v, int):
                     # keep int arithmetic exact: float(v) would round
-                    # integers above 2**53
-                    iv = v * (10 ** pic.scale)
+                    # integers above 2**53; a NEGATIVE scale (trailing P)
+                    # divides — in int arithmetic, not float (which would
+                    # leave a decimal point in the digit string)
+                    if pic.scale >= 0:
+                        iv = v * (10 ** pic.scale)
+                    else:
+                        iv = int(v) // (10 ** -pic.scale)
                 else:
-                    iv = int(round(float(v) * (10 ** pic.scale)))
+                    iv = int(round(float(v) * (10.0 ** pic.scale)))
                 if f.usage == "comp3":
                     a = abs(iv)
                     ds = str(a).rjust(pic.digits, "0")[-pic.digits :]

@@ -667,3 +667,95 @@ def test_free_format_copybook_with_short_indent():
     rec = root.children[0]
     assert [c.name for c in rec.children] == ["FLD", "N"]
     assert rec.size == 6
+
+
+# ----------------------------------------------- review-fix regressions (r3b)
+
+
+def test_multiple_fillers_occupy_layout_but_not_output():
+    root = parse_copybook(
+        "01 R. 05 A PIC X(2). 05 FILLER PIC X(3). 05 B PIC 9(4). 05 FILLER PIC X(6)."
+    )
+    assert root.children[0].size == 15  # fillers still take bytes
+    leaves = flatten(root)
+    assert [l.flat for l in leaves] == ["r__a", "r__b"]
+    raw = ("AB" + "xxx" + "0042" + "......").encode("cp037")
+    m = np.frombuffer(raw, np.uint8).reshape(1, 15)
+    df = decode_records(m, leaves)
+    assert df["r__a"][0] == "AB" and df["r__b"][0] == 42
+
+
+def test_string_path_exact_18_digit_int_with_bad_row():
+    """One unparseable row must not coerce the whole batch to float64 and
+    round 16+-digit integers (ASCII decode path)."""
+    root = parse_copybook("01 R. 05 V PIC 9(18).")
+    big = 123456789012345678
+    rows = [str(big).encode().rjust(18, b"0"), b"x" * 18]
+    m = np.frombuffer(b"".join(rows), np.uint8).reshape(2, 18)
+    vals = decode_records(m, flatten(root), ebcdic=False)["r__v"]
+    assert int(vals[0]) == big  # exact, not 123456789012345680
+    assert vals.isna()[1]
+
+
+def test_multiple_01_records_overlay_at_offset_zero():
+    """Multi-root copybooks are record VARIANTS: both overlay offset 0
+    (implicit REDEFINES), lrecl = max root size — not the sum."""
+    root = parse_copybook("01 REC-A. 05 A PIC X(4). 01 REC-B. 05 B PIC 9(4).")
+    a, b = root.children
+    assert a.offset == 0 and b.offset == 0
+    assert max(c.offset + c.extent for c in root.children) == 4
+    raw = "0042".encode("cp037")
+    m = np.frombuffer(raw, np.uint8).reshape(1, 4)
+    df = decode_records(m, flatten(root))
+    assert df["rec_a__a"][0] == "0042" and df["rec_b__b"][0] == 42
+
+
+def test_encode_absent_redefines_overlay_does_not_clobber():
+    from kafka_connect_fs_spark.sources.copybook import encode_records
+
+    root = parse_copybook("01 R. 05 A PIC X(4). 05 B REDEFINES A PIC 9(4).")
+    raw = encode_records([{"a": "WXYZ"}], root)
+    m = np.frombuffer(raw, np.uint8).reshape(1, 4)
+    df = decode_records(m, flatten(root))
+    assert df["r__a"][0] == "WXYZ"  # not zoned zeros
+
+
+def test_collapse_root_elementary_01(spark, tmp_path):
+    p = str(tmp_path / "elem.dt")
+    with open(p, "wb") as f:
+        f.write("HELLOWORLD".encode("cp037"))
+    df = read_cobol(
+        spark, [item(p)],
+        {"copybook_content": "01 X PIC X(10).", "schema_policy": "collapse_root"},
+    )
+    r = df.collect()[0]
+    assert r.X == "HELLOWORLD"
+
+
+def test_unsigned_binary_wraparound_is_null_not_negative():
+    root = parse_copybook("01 R. 05 V PIC 9(18) COMP.")
+    raw = (2 ** 63).to_bytes(8, "big") + (10 ** 18 - 1).to_bytes(8, "big")
+    m = np.frombuffer(raw, np.uint8).reshape(2, 8)
+    vals = decode_records(m, flatten(root))["r__v"]
+    assert vals.isna()[0]  # out of precision -> null, never int64-min
+    assert int(vals[1]) == 10 ** 18 - 1
+
+
+def test_encode_trailing_p_negative_scale_exact():
+    from kafka_connect_fs_spark.sources.copybook import encode_records
+
+    root = parse_copybook("01 R. 05 V PIC 9(3)P(2).")
+    f = root.children[0].children[0]
+    assert f.pic.scale == -2 and f.size == 3
+    raw = encode_records([{"v": 12300}], root)
+    m = np.frombuffer(raw, np.uint8).reshape(1, 3)
+    got = decode_records(m, flatten(root))["r__v"][0]
+    assert float(got) == 12300.0  # 123 stored, x100 on decode
+
+
+def test_usage_keyword_not_rewritten_inside_field_names():
+    root = parse_copybook(
+        "01 R. 05 PACKED-DECIMAL-FLAG PIC X. 05 COMPUTATIONAL-RATE PIC 9(3)."
+    )
+    names = [c.name for c in root.children[0].children]
+    assert names == ["PACKED_DECIMAL_FLAG", "COMPUTATIONAL_RATE"]
