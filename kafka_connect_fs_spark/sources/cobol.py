@@ -257,8 +257,18 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
         if opts.debug:
             out.append(F.col(flat + "__debug").alias(f.name + "_debug"))
 
+    def has_named_leaf(f: Field) -> bool:
+        if f.is_group:
+            return any(has_named_leaf(c) for c in f.children)
+        return not f.is_filler
+
     def build(f: Field, prefix: str) -> list:
-        """Columns for field f (1 normally, 2 with debug on leaves)."""
+        """Columns for field f (1 normally, 2 with debug on leaves).
+        FILLER leaves (and FILLER subtrees with no named leaves) are
+        layout-only — flatten() never decoded them, so referencing their
+        flat columns here would raise UNRESOLVED_COLUMN."""
+        if not has_named_leaf(f):
+            return []
         reps = range(f.occurs) if f.occurs else (None,)
         per_rep = []
         for idx in reps:

@@ -88,6 +88,7 @@ class Field:
     sign_separate: bool = False
     sign_leading: bool = False  # overpunch/separate position
     sign_clause: bool = False
+    is_filler: bool = False  # FILLER item: occupies layout bytes, no output
     children: list["Field"] = dc_field(default_factory=list)
     # computed layout
     offset: int = 0
@@ -226,6 +227,7 @@ def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
     root = Field(level=0, name="_root")
     stack: list[Field] = [root]
     n_data = 0
+    n_fillers = 0
     for toks in _tokenize(text, fixed):
         if len(toks) < 2 or not toks[0].isdigit():
             raise CopybookError(f"Unparseable copybook statement: {' '.join(toks)[:80]}")
@@ -233,7 +235,14 @@ def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
         if level in (66, 88, 77):
             continue  # renames/conditions/standalone not part of the record
         name = toks[1].upper()
-        f = Field(level=level, name=name.replace("-", "_"))
+        is_filler = name == "FILLER"
+        if is_filler:
+            # unique per-parse names (Cobrix's FILLER_1/FILLER_2 rule):
+            # sibling FILLER groups with same-named children would
+            # otherwise flatten to colliding column names
+            n_fillers += 1
+            name = f"FILLER_{n_fillers}"
+        f = Field(level=level, name=name.replace("-", "_"), is_filler=is_filler)
         i = 2
         while i < len(toks):
             t = toks[i].upper()
@@ -387,11 +396,11 @@ def flatten(root: Field) -> list[Leaf]:
             if f.is_group:
                 for c in f.children:
                     walk(c, start + (c.offset - f.offset), p)
-            elif f.name == "FILLER":
+            elif f.is_filler:
                 # FILLER occupies layout bytes but is NOT output (Cobrix
-                # drops fillers too); emitting them would collide — every
-                # FILLER in a group flattens to the same column name, and
-                # the decode dict would silently keep only the last one
+                # drops value fillers too); FILLER groups with named
+                # children ARE walked above under their unique FILLER_n
+                # path segment
                 pass
             else:
                 flat = "__".join(

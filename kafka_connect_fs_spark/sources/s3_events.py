@@ -96,7 +96,23 @@ def _stat_uri(uri: str) -> FileMeta | None:
     """Stat one object (the reference's fs.listFiles(path, false) probe).
     The FileSystem client is cached per scheme://authority: building a
     fresh S3/HDFS client per stat costs connection setup per EVENT — a
-    10k-event burst would pay it 10k times per trigger."""
+    10k-event burst would pay it 10k times per trigger.
+
+    Bare (non-URI) paths — e.g. HdfsInotifyPolicy constructed with a
+    plain directory — stat via the local filesystem instead of raising
+    IndexError on the '://' split."""
+    if "://" not in uri:
+        import os
+
+        try:
+            st = os.stat(uri)
+        except OSError:
+            return None
+        import stat as stat_mod
+
+        if not stat_mod.S_ISREG(st.st_mode):
+            return None
+        return FileMeta(uri, st.st_size, st.st_mtime)
     import pyarrow.fs as pafs
 
     scheme_auth = uri.split("://", 1)[0] + "://" + uri.split("://", 1)[1].split("/", 1)[0]
@@ -160,7 +176,12 @@ class S3EventNotificationsPolicy:
         self.event_regex = re.compile(event_regex)
         self.delete_messages = delete_messages
         self.ack_mode = ack_mode
-        self._pending_acks: list[str] = []
+        # (receipt_handle, paths the message announced): after_commit acks
+        # only delete a message once EVERY announced path is durable —
+        # blanket acking would lose discoveries the engine capped out of
+        # the batch (files_per_trigger/bytes_per_trigger), which never
+        # reappear in an event-based listing
+        self._pending_acks: list[tuple[str, frozenset[str]]] = []
         self.stat_fn = stat_fn or _stat_uri
 
     def _in_bucket(self, record: S3EventRecord) -> bool:
@@ -173,6 +194,7 @@ class S3EventNotificationsPolicy:
     def poll(self) -> list[FileMeta]:
         out: list[FileMeta] = []
         for msg in self.queue.receive_messages():
+            msg_paths: list[str] = []
             for rec in parse_event_message(msg):
                 if not self.event_regex.fullmatch(rec.event_name):
                     continue
@@ -186,23 +208,42 @@ class S3EventNotificationsPolicy:
                     print(f"kcfs: cannot stat '{uri}': {e}", file=sys.stderr)
                 if meta is not None:
                     out.append(meta)
+                    msg_paths.append(uri)
             # acknowledge ONCE per message (a multi-record message has one
             # receipt handle), matched or not — fully-filtered/unparseable
             # messages would otherwise redeliver forever
             if self.delete_messages:
                 if self.ack_mode == "after_commit":
-                    self._pending_acks.append(msg.receipt_handle)
+                    # a redelivered message (visibility timeout while its
+                    # paths drain) replaces its older pending entry
+                    self._pending_acks = [
+                        (h, p)
+                        for h, p in self._pending_acks
+                        if h != msg.receipt_handle
+                    ] + [(msg.receipt_handle, frozenset(msg_paths))]
                 else:
                     self.queue.delete_message(msg.receipt_handle)
         return out
 
-    def ack_pending(self) -> int:
-        """Delete the messages of every prior poll (ack_mode='after_commit').
-        Call after the batch commit — IngestConfig.discovery_ack_fn."""
+    def ack_pending(self, durable_paths: set[str] | None = None) -> int:
+        """Delete pending messages (ack_mode='after_commit'); call after
+        the batch commit — IngestConfig.discovery_ack_fn.
+
+        With ``durable_paths`` (the engine passes the paths whose
+        watermarks just committed), only messages whose every announced
+        path is durable are deleted; the rest stay pending for a later
+        ack (the engine re-offers their capped-out files next trigger) or
+        queue redelivery after a crash. ``None`` acks everything (legacy
+        / caller knows the whole batch committed)."""
         n = 0
-        while self._pending_acks:
-            self.queue.delete_message(self._pending_acks.pop(0))
-            n += 1
+        keep: list[tuple[str, frozenset[str]]] = []
+        for handle, paths in self._pending_acks:
+            if durable_paths is None or paths <= durable_paths:
+                self.queue.delete_message(handle)
+                n += 1
+            else:
+                keep.append((handle, paths))
+        self._pending_acks = keep
         return n
 
     # IngestConfig.discovery_fn takes a zero-arg callable

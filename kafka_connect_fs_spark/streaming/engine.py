@@ -87,12 +87,17 @@ class IngestConfig:
     # business. The watermark anti-join downstream makes any
     # at-least-once discovery source safe.
     discovery_fn: Callable[[], list] | None = None
-    # called after each batch's watermark commit — the exactly-once ack
-    # hook for deferred-ack discovery sources (e.g.
+    # called after each batch's watermark commit with the set of paths
+    # whose discovery is now durable (watermark committed, already
+    # finished, or vanished) — the exactly-once ack hook for deferred-ack
+    # discovery sources (e.g.
     # S3EventNotificationsPolicy(ack_mode="after_commit").ack_pending):
     # a crash before the commit leaves the queue messages undeleted, so
-    # the events redeliver and the watermark anti-join absorbs them
-    discovery_ack_fn: Callable[[], object] | None = None
+    # the events redeliver and the watermark anti-join absorbs them.
+    # Messages for files the per-trigger caps dropped from the batch are
+    # NOT in the durable set — they stay pending (the engine re-offers
+    # those files itself next trigger and acks once their watermark lands)
+    discovery_ack_fn: Callable[[set], object] | None = None
     schema: T.StructType | None = None
     reader_options: dict = field(default_factory=dict)
     keys: tuple = ("conv_id", "turn_idx")
@@ -205,6 +210,14 @@ class IngestEngine:
         )
         os.makedirs(config.checkpoint_root, exist_ok=True)
         self._metrics_path = os.path.join(config.checkpoint_root, "metrics.jsonl")
+        # event-based discovery never re-lists, so files the per-trigger
+        # caps dropped from a batch are re-offered from here next trigger
+        # (crash-safe: their queue messages stay un-acked until the
+        # watermark commits, so redelivery covers a lost process)
+        self._carryover: dict[str, FileMeta] = {}
+        # paths whose files vanished after discovery: nothing will ever be
+        # owed for them, so their messages are ack-able
+        self._vanished: set[str] = set()
 
     # ------------------------------------------------------------- planning
     def _plan(
@@ -512,7 +525,12 @@ class IngestEngine:
             cleaned = self._cleanup(md.get("cleanup", []))
             self.watermarks.commit(md.get("watermarks", []), seq, removed_paths=cleaned)
             if cfg.discovery_ack_fn is not None:
-                cfg.discovery_ack_fn()
+                cfg.discovery_ack_fn(
+                    {w["path"] for w in md.get("watermarks", [])}
+                    | set(md.get("cleanup", []))
+                    | self._vanished
+                )
+                self._vanished = set()
             res = BatchResult(
                 batch_id, seq, len(md.get("watermarks", [])), 0,
                 recovered.metrics.get("rows_written", 0), recovered=True,
@@ -521,11 +539,37 @@ class IngestEngine:
             self._log_metrics(res, recovered.metrics, version=recovered.version)
             return res
 
-        raw_listing = (
+        raw_listing = list(
             cfg.discovery_fn()
             if cfg.discovery_fn is not None
             else list_files(cfg.uris, cfg.regexp, cfg.recursive)
         )
+        wm_rows = self.watermarks.load_dict()
+        wm_purge: list[str] = []
+        if cfg.discovery_fn is not None:
+            # an event source announces each file ONCE — the engine itself
+            # must re-offer (a) files the per-trigger caps dropped last
+            # batch and (b) non-eof watermark rows (failed ranges, partial
+            # record-cap drains, held-back torn tails) or they stall
+            # forever waiting for an event that never comes. Listing
+            # policies re-list, so they skip this. Stats are bounded by
+            # the re-offer set (files we are about to read anyway), never
+            # O(all objects).
+            reoffer = dict(self._carryover)
+            for p, w in wm_rows.items():
+                if not w["eof"] and p not in reoffer:
+                    reoffer[p] = FileMeta(p, w["file_size"], 0.0)
+            for p, fm in reoffer.items():
+                if _still_exists(p):
+                    raw_listing.append(fm)
+                else:
+                    # vanished after discovery: nothing owed — ack its
+                    # message and purge any stale watermark row so the
+                    # re-offer loop terminates
+                    self._vanished.add(p)
+                    if p in wm_rows:
+                        wm_purge.append(p)
+            self._carryover = {}
         # dedup by path keeping the largest size (an event queue can
         # announce the same growing object twice in one poll), then
         # path-sort for deterministic files_per_trigger batching
@@ -534,14 +578,23 @@ class IngestEngine:
             if f.length > 0 and (f.path not in by_path or f.length > by_path[f.path].length):
                 by_path[f.path] = f
         listing = [by_path[p] for p in sorted(by_path)]
-        wm_rows = self.watermarks.load_dict()
         work, finished = self._plan(listing, wm_rows)
         snap = {w.path: w.snap_length for w in work}
+        if cfg.discovery_fn is not None:
+            planned = {w.path for w in work} | set(finished)
+            self._carryover = {
+                f.path: f for f in listing if f.path not in planned
+            }
 
         if not work:
             cleaned = self._cleanup(finished)
-            if cleaned:
-                self.watermarks.commit([], seq, removed_paths=cleaned)
+            if cleaned or wm_purge:
+                self.watermarks.commit([], seq, removed_paths=cleaned + wm_purge)
+            if cfg.discovery_ack_fn is not None:
+                # redelivered events for already-finished files must still
+                # ack or they redeliver forever
+                cfg.discovery_ack_fn(set(finished) | self._vanished)
+                self._vanished = set()
             res = BatchResult(batch_id, seq, 0, 0, 0, cleaned=cleaned,
                               duration_s=time.monotonic() - t0)
             self._log_metrics(res, {})
@@ -734,11 +787,18 @@ class IngestEngine:
                 p.unpersist()
 
         cleaned = self._cleanup(finished)
-        self.watermarks.commit(wm_updates, seq, removed_paths=cleaned)
+        self.watermarks.commit(wm_updates, seq, removed_paths=cleaned + wm_purge)
         if cfg.discovery_ack_fn is not None:
-            # safe point: offsets are durable, so acknowledging the queue
-            # messages can no longer lose a discovery
-            cfg.discovery_ack_fn()
+            # safe point: these paths' offsets are durable, so
+            # acknowledging their queue messages can no longer lose a
+            # discovery; capped-out paths are excluded — their messages
+            # stay pending until their own watermark lands
+            cfg.discovery_ack_fn(
+                {u["path"] for u in wm_updates}
+                | set(finished)
+                | self._vanished
+            )
+            self._vanished = set()
 
         if cfg.compact_every and seq > 0 and seq % cfg.compact_every == 0:
             self.lake.compact(min_files_per_bucket=cfg.compact_min_files_per_bucket)

@@ -151,7 +151,8 @@ def test_level_88_and_filler_handling():
         """
     )
     r = root.children[0]
-    assert [c.name for c in r.children] == ["FLAG", "FILLER", "V"]
+    assert [c.name for c in r.children] == ["FLAG", "FILLER_1", "V"]
+    assert r.children[1].is_filler
     assert r.size == 6
 
 
@@ -683,6 +684,69 @@ def test_multiple_fillers_occupy_layout_but_not_output():
     m = np.frombuffer(raw, np.uint8).reshape(1, 15)
     df = decode_records(m, leaves)
     assert df["r__a"][0] == "AB" and df["r__b"][0] == 42
+
+
+def test_read_cobol_with_filler(spark, tmp_path):
+    """ADVICE r4 high: _assemble must skip FILLER columns that flatten()
+    never decoded — any copybook with a FILLER used to raise
+    UNRESOLVED_COLUMN on the Spark read path."""
+    cpy = "01 R. 05 A PIC X(2). 05 FILLER PIC X(3). 05 B PIC 9(4)."
+    raw = ("AB" + "xxx" + "0042").encode("cp037") + ("CD" + "yyy" + "0007").encode("cp037")
+    p = str(tmp_path / "filler.dt")
+    with open(p, "wb") as f:
+        f.write(raw)
+    for policy in ("collapse_root", "keep_original"):
+        df = read_cobol(
+            spark, [item(p)], {"copybook_content": cpy, "schema_policy": policy}
+        ).orderBy("_src_offset")
+        rows = df.collect()
+        if policy == "collapse_root":
+            assert [c for c in df.columns if not c.startswith("_src")] == ["A", "B"]
+            assert (rows[0].A, rows[0].B) == ("AB", 42)
+            assert (rows[1].A, rows[1].B) == ("CD", 7)
+        else:
+            assert rows[0].R.asDict() == {"A": "AB", "B": 42}
+
+
+def test_read_cobol_filler_group_and_debug(spark, tmp_path):
+    """FILLER groups with named children keep those children (under the
+    unique FILLER_n struct); all-filler subtrees vanish; debug mode must
+    not emit debug columns for skipped fillers."""
+    cpy = (
+        "01 R. 05 A PIC X(1). "
+        "05 FILLER. 10 INNER PIC 9(2). 10 FILLER PIC X(1). "
+        "05 FILLER. 10 FILLER PIC X(2). "
+        "05 B PIC X(1)."
+    )
+    raw = ("Z" + "42" + "x" + "yy" + "Q").encode("cp037")
+    p = str(tmp_path / "fg.dt")
+    with open(p, "wb") as f:
+        f.write(raw)
+    df = read_cobol(
+        spark,
+        [item(p)],
+        {"copybook_content": cpy, "schema_policy": "collapse_root", "debug": True},
+    )
+    r = df.collect()[0]
+    assert r.A == "Z" and r.B == "Q"
+    assert r.FILLER_1.asDict()["INNER"] == 42
+    assert "FILLER_3" not in df.columns  # all-filler subtree dropped
+
+
+def test_sibling_filler_groups_do_not_collide():
+    """ADVICE r4 low: two sibling FILLER groups with same-named children
+    must produce distinct flat names, not silently overwrite."""
+    root = parse_copybook(
+        "01 R. 05 FILLER. 10 V PIC 9(2). 05 FILLER. 10 V PIC 9(3)."
+    )
+    leaves = flatten(root)
+    flats = [l.flat for l in leaves]
+    assert len(set(flats)) == 2
+    assert flats == ["r__filler_1__v", "r__filler_2__v"]
+    raw = ("12" + "345").encode("cp037")
+    m = np.frombuffer(raw, np.uint8).reshape(1, 5)
+    df = decode_records(m, leaves)
+    assert df[flats[0]][0] == 12 and df[flats[1]][0] == 345
 
 
 def test_string_path_exact_18_digit_int_with_bad_row():
