@@ -24,6 +24,26 @@ def content_hash(text: Column) -> Column:
     return F.md5(text)
 
 
+def _widen_degenerate_scan(df: DataFrame, cap: int = 16) -> DataFrame:
+    """Repartition ONLY a degenerate few-file scan (a 1-file table scans
+    as ~one task and serializes the downstream explode).
+
+    The decision uses driver-side scan metadata (``df.inputFiles()``, read
+    from the plan's FileIndex) — never ``df.rdd``, which would force a
+    logical→RDD conversion and materialize a second physical plan per
+    call. Non-file inputs (in-memory test frames) and inputs with ≥cap
+    files pass through untouched, so at real scale (thousands of files)
+    this is metadata-only and plan-neutral."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if files and len(files) < min(target, cap):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct content: hash, group size, kept (min) id."""
     return (
@@ -47,9 +67,7 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     already has thousands of partitions and this is a no-op (never shuffle
     full text payloads unless the alternative is idle executors).
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 16):
-        df = df.repartition(target)
+    df = _widen_degenerate_scan(df)
     w = F.split(F.lower(F.col(text_col)), " ")
     # guard short docs: sequence(1, 0) would be DESCENDING [1, 0] in Spark
     idx = F.when(
@@ -217,9 +235,7 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
 
     Pure DataFrame ops: explode tokens → per-bit vote via bit ops → sum.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 16):
-        df = df.repartition(target)  # same degenerate-input widening as shingles()
+    df = _widen_degenerate_scan(df)  # same degenerate-input widening as shingles()
     tok = df.select(
         F.col(id_col), F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " "))).alias("t")
     ).where(F.length("t") > 0)

@@ -164,16 +164,33 @@ class HdfsInotifyPolicy:
                 name = uri.rsplit("/", 1)[-1]
                 if not self.regexp.search(name):  # Java Matcher.find()
                     continue
-                try:
-                    meta = self.stat_fn(uri)
-                except OSError as e:
-                    meta = None
-                    print(f"kcfs: cannot stat '{uri}': {e}", file=sys.stderr)
-                if meta is None:
-                    # got an event for a file that no longer exists (:192)
-                    continue
-                latest[uri] = meta  # dedup keep-latest
-        return list(latest.values())
+                latest[uri] = None  # dedup keep-latest: stat once per uri
+        return self._stat_all(list(latest))
+
+    def _stat_all(self, uris: list[str]) -> list[FileMeta]:
+        """Stat the deduped event paths with a bounded thread pool: the
+        serial loop this replaces paid O(events) namenode RPC latencies
+        per trigger — at the burst rates this policy exists for, poll
+        wall-time was sum(stat) instead of ~max(stat). Stats are
+        I/O-bound, so threads (not processes) are right; order is
+        preserved and vanished files are skipped like the reference
+        (:192)."""
+
+        def one(uri: str) -> FileMeta | None:
+            try:
+                return self.stat_fn(uri)
+            except OSError as e:
+                print(f"kcfs: cannot stat '{uri}': {e}", file=sys.stderr)
+                return None
+
+        if len(uris) <= 1:
+            metas = [one(u) for u in uris]
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(16, len(uris))) as ex:
+                metas = list(ex.map(one, uris))
+        return [m for m in metas if m is not None]
 
     # IngestConfig.discovery_fn takes a zero-arg callable
     __call__ = poll

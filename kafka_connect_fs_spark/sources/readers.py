@@ -1094,6 +1094,66 @@ def _py_spark_type(value) -> str:
     return "string"
 
 
+# Writable class name -> Spark type, matching what pyspark's sequenceFile
+# deserialization yields Python-side (int Writables all become Python int
+# -> long; Float/DoubleWritable become Python float -> double), so the
+# header-sniffed schema equals the old probe-job-inferred one.
+_WRITABLE_TO_SPARK = {
+    "org.apache.hadoop.io.Text": "string",
+    "org.apache.hadoop.io.IntWritable": "long",
+    "org.apache.hadoop.io.LongWritable": "long",
+    "org.apache.hadoop.io.VIntWritable": "long",
+    "org.apache.hadoop.io.VLongWritable": "long",
+    "org.apache.hadoop.io.ShortWritable": "long",
+    "org.apache.hadoop.io.ByteWritable": "long",
+    "org.apache.hadoop.io.FloatWritable": "double",
+    "org.apache.hadoop.io.DoubleWritable": "double",
+    "org.apache.hadoop.io.BooleanWritable": "boolean",
+    "org.apache.hadoop.io.BytesWritable": "binary",
+}
+
+
+def _read_vint(buf: bytes, pos: int) -> tuple[int, int]:
+    """Hadoop WritableUtils zero-compressed VInt: (value, next_pos).
+    Public format: first byte in [-112, 127] IS the value; else it
+    encodes sign + the count of following big-endian bytes."""
+    first = buf[pos]
+    b = first - 256 if first > 127 else first
+    if b >= -112:
+        return b, pos + 1
+    length = (-111 - b) if b >= -120 else (-119 - b)
+    v = 0
+    for i in range(length - 1):
+        v = (v << 8) | buf[pos + 1 + i]
+    neg = b < -120 or (-112 <= b < 0)
+    return (v ^ -1) if neg else v, pos + length
+
+
+def _sniff_sequence_header(path: str) -> tuple[str, str] | None:
+    """Driver-side SequenceFile header sniff — the public on-disk format
+    is magic 'SEQ' + version byte + two Text.writeString class names
+    (VInt length + UTF-8). Returns (key_class, value_class) or None for
+    non-SequenceFile/empty/unsniffable bytes. Replaces the old
+    sc.sequenceFile(path).first() probe, which launched one Spark JOB per
+    file just to learn two type names."""
+    try:
+        with _open_raw(path) as f:
+            head = f.read(4096)
+    except OSError:
+        return None
+    if len(head) < 4 or head[:3] != b"SEQ":
+        return None
+    try:
+        n, pos = _read_vint(head, 4)
+        key_cls = head[pos : pos + n].decode("utf-8")
+        pos += n
+        n, pos = _read_vint(head, pos)
+        val_cls = head[pos : pos + n].decode("utf-8")
+        return key_cls, val_cls
+    except (IndexError, UnicodeDecodeError):
+        return None
+
+
 def read_sequence_file(
     spark: SparkSession,
     items: list[WorkItem],
@@ -1108,9 +1168,22 @@ def read_sequence_file(
     SequenceFile reader, and the format is legacy — kept for parity.
     Writables come out TYPED, like the reference's toSchema mapping
     (SequenceFileReader.java:59-78): pass ``key_type``/``value_type``
-    Spark type strings, or leave None to infer from the first record (the
-    reference also inspects the Writable instance at read time).
+    Spark type strings, or leave None to infer from the file header's
+    Writable class names — a driver-side byte sniff, zero Spark jobs (the
+    reference inspects the Writable instance at read time; exotic
+    Writable classes fall back to a one-record probe job).
     Customizable field names mirror file_reader.sequence.field_name.*."""
+    if key_type is None or value_type is None:
+        for w in items:
+            sniffed = _sniff_sequence_header(w.path)
+            if sniffed is None:
+                continue
+            kt, vt = (_WRITABLE_TO_SPARK.get(c) for c in sniffed)
+            if kt is None or vt is None:
+                break  # unknown Writable: deserialize one record instead
+            key_type = key_type or kt
+            value_type = value_type or vt
+            break
     if key_type is None or value_type is None:
         probe_key, probe_val = None, None
         for w in items:

@@ -79,10 +79,10 @@ def test_event_switch_matches_reference():
 
 
 def test_dedup_keeps_latest_and_regex_find_and_vanished():
-    """Dedup by path keeps the LATEST metadata (:88-97); regex is
+    """Dedup by path stats ONCE per uri after the drain — the stat then
+    reflects the file's latest state (:88-97 keep-latest); regex is
     Matcher.find() on the file NAME; events for vanished files are
     skipped (:190-196)."""
-    sizes = {"hdfs://nn/data/a.jsonl": 10}
     stream = FakeStream(
         [
             [InotifyEvent("CREATE", path="/data/a.jsonl")],
@@ -97,14 +97,15 @@ def test_dedup_keeps_latest_and_regex_find_and_vanished():
         calls.append(uri)
         if "gone" in uri:
             return None
-        # second stat sees the appended size
-        return FileMeta(uri, 10 if len(calls) == 1 else 25, 1.0)
+        # a post-drain stat sees the post-APPEND size
+        return FileMeta(uri, 25, 1.0)
 
     pol = HdfsInotifyPolicy(
         stream, "hdfs://nn/data", regexp=r"\.jsonl$", stat_fn=stat
     )
     got = pol.poll()
     assert len(got) == 1 and got[0].length == 25  # keep-latest
+    assert calls.count("hdfs://nn/data/a.jsonl") == 1  # deduped pre-stat
     assert all("skip.txt" not in c for c in calls)  # regex pre-stat
 
 
@@ -195,6 +196,34 @@ def test_engine_discovery_purely_from_events(spark, tmp_path, monkeypatch):
     assert eng.run_once().n_events == 1
     got = {r.turn_idx: r.text for r in eng.lake.read().collect()}
     assert got == {0: "t0", 1: "t1", 2: "t2"}
+
+
+def test_poll_stats_run_concurrently_not_serially():
+    """VERDICT r4 #5: per-event stats must go through a bounded thread
+    pool — poll wall-time ≈ max(stat latency), not sum. 8 files × 0.15 s
+    serial would be 1.2 s; the pooled poll must finish well under half
+    that. Duplicate events for one uri must stat only once."""
+    import time
+
+    n = 8
+    events = [
+        InotifyEvent("CREATE", path=f"/data/f{i}.jsonl") for i in range(n)
+    ] + [InotifyEvent("APPEND", path="/data/f0.jsonl")]  # duplicate
+    stream = FakeStream([events])
+    calls = []
+
+    def slow_stat(uri):
+        calls.append(uri)
+        time.sleep(0.15)
+        return FileMeta(uri, 7, 1.0)
+
+    pol = HdfsInotifyPolicy(stream, "hdfs://nn:8020/data", stat_fn=slow_stat)
+    t0 = time.monotonic()
+    got = pol.poll()
+    wall = time.monotonic() - t0
+    assert len(got) == n
+    assert len(calls) == n  # duplicate event deduped BEFORE the stat
+    assert wall < 0.6, f"poll took {wall:.2f}s — stats look serial"
 
 
 def test_events_outside_watched_subtree_filtered():

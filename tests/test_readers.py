@@ -300,6 +300,53 @@ def test_sequence_file_roundtrip(spark, tmp_path):
     assert {r.k for r in out2.collect()} == {str(i) for i in range(20)}
 
 
+def test_sequence_file_inference_runs_zero_jobs(spark, tmp_path):
+    """Type inference must come from a driver-side header sniff (public
+    format: 'SEQ' magic + version + two VInt-prefixed class names), not a
+    one-job-per-file sc.sequenceFile(...).first() probe."""
+    from kafka_connect_fs_spark.sources.readers import (
+        _sniff_sequence_header,
+        read_sequence_file,
+    )
+
+    p = str(tmp_path / "seqz")
+    spark.sparkContext.parallelize([(i, f"v{i}") for i in range(10)], 3).saveAsSequenceFile(p)
+    import glob
+
+    files = [WorkItem(f, 0, 1) for f in glob.glob(p + "/part-*")]
+    assert _sniff_sequence_header(files[0].path) == (
+        "org.apache.hadoop.io.IntWritable",
+        "org.apache.hadoop.io.Text",
+    )
+    sc = spark.sparkContext
+    # pyspark's sequenceFile RDD *construction* itself runs a tiny
+    # serializer-probe job per file (SerDeUtil), inference or not —
+    # baseline that with explicit types, then assert the inferred path
+    # adds ZERO jobs on top (the old .first() probe added one).
+    sc.setJobGroup("seq-explicit", "baseline")
+    try:
+        read_sequence_file(spark, files, key_type="long", value_type="string")
+        baseline = len(sc.statusTracker().getJobIdsForGroup("seq-explicit"))
+    finally:
+        sc.setJobGroup(None, None)
+    sc.setJobGroup("seq-inferred", "must match baseline")
+    try:
+        out = read_sequence_file(spark, files)  # schema inferred from header
+        inferred = len(sc.statusTracker().getJobIdsForGroup("seq-inferred"))
+    finally:
+        sc.setJobGroup(None, None)
+    assert inferred == baseline, "type inference launched extra Spark jobs"
+    assert dict(out.dtypes)["key"] == "bigint" and dict(out.dtypes)["value"] == "string"
+    assert {(r.key, r.value) for r in out.collect()} == {(i, f"v{i}") for i in range(10)}
+    # empty/garbage files are unsniffable, not crashes
+    bad = tmp_path / "not_seq"
+    bad.write_bytes(b"XYZ123")
+    assert _sniff_sequence_header(str(bad)) is None
+    empty = tmp_path / "empty_seq"
+    empty.write_bytes(b"")
+    assert _sniff_sequence_header(str(empty)) is None
+
+
 def test_sequence_file_double_and_bytes_writables(spark, tmp_path):
     p = str(tmp_path / "seqd")
     spark.sparkContext.parallelize(
