@@ -33,6 +33,8 @@ from .copybook import (
     Field,
     Leaf,
     decode_records,
+    decode_records_odo,
+    find_odo,
     flatten,
     parse_copybook,
     spark_type_for,
@@ -102,10 +104,18 @@ def read_cobol(
     nested DataFrame with ``_src_file``/``_src_offset`` lineage."""
     opts = CobolOptions(options)
     root = parse_copybook(_load_copybook(opts))
+    odo = find_odo(root)  # validates the supported ODO envelope
     lrecl = int(opts.record_length) if opts.record_length else max(
         c.offset + c.extent for c in root.children
     )
     leaves = flatten(root)
+    # OCCURS DEPENDING ON: records are variable-length (each compacts to
+    # its own count), so the fixed-lrecl split planner cannot apply — ODO
+    # files route through the sequential per-file path exactly like RDW
+    # framing. An EXPLICIT record_length instead declares a fixed padded
+    # layout (array at max extent, static offsets): normal split planning,
+    # with beyond-count occurrences trimmed during reassembly.
+    odo_variable = odo is not None and not opts.record_length and not opts.is_record_sequence
 
     flat_fields = []
     for leaf in leaves:
@@ -120,7 +130,7 @@ def read_cobol(
         ]
     )
 
-    tasks = _plan_tasks(items, lrecl, opts)
+    tasks = _plan_tasks(items, lrecl, opts, sequential=opts.is_record_sequence or odo_variable)
     if not tasks:
         flat_df = spark.createDataFrame([], flat_schema)
         return _assemble(flat_df, root, opts)
@@ -135,11 +145,25 @@ def read_cobol(
     float_format, debug = opts.float_format, opts.debug
     rdw, rdw_be, rdw_adj = opts.is_record_sequence, opts.is_rdw_big_endian, opts.rdw_adjustment
     col_order = [f.name for f in flat_schema.fields]
+    # ODO: variable layouts decode per-count (compacted offsets); an
+    # explicit record_length keeps the static padded layout instead
+    odo_compact = odo is not None and not opts.record_length
+    odo_counter_leaf = (
+        next(l for l in leaves if l.f is odo[1]) if odo is not None else None
+    )
+    odo_item_size = odo[0].size if odo is not None else 0
+    odo_max = odo[0].occurs if odo is not None else 0
+    odo_base_size = max(c.offset + c.extent for c in root.children)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kafka_connect_fs_spark.sources.copybook import ebcdic_to_ascii_table
 
         e2a = ebcdic_to_ascii_table(code_page)
+        read_counter = (
+            _counter_reader(odo_counter_leaf, ebcdic, e2a)
+            if odo_variable
+            else None
+        )
         for pdf in batches:
             for row in pdf.itertuples(index=False):
                 path, start, end = row.path, int(row.start), int(row.end)
@@ -152,6 +176,12 @@ def read_cobol(
                         raw, lrecl, rdw_be, rdw_adj, base=start,
                         emit_from=int(row.emit_from),
                     )
+                elif odo_variable:
+                    recs, offsets = _frame_odo(
+                        raw, lrecl, read_counter, odo_base_size,
+                        odo_item_size, odo_max, base=start,
+                        emit_from=int(row.emit_from),
+                    )
                 else:
                     n = len(raw) // lrecl
                     recs = raw[: n * lrecl]
@@ -159,15 +189,22 @@ def read_cobol(
                 if not offsets:
                     continue
                 m = np.frombuffer(recs, dtype=np.uint8).reshape(len(offsets), lrecl)
-                out = decode_records(
-                    m,
-                    leaves,
-                    ebcdic=ebcdic,
-                    trim=trim,
-                    floating_point_format=float_format,
-                    debug=debug,
-                    e2a=e2a,
-                )
+                if odo_compact:
+                    out = decode_records_odo(
+                        m, root, ebcdic=ebcdic, trim=trim,
+                        floating_point_format=float_format, debug=debug,
+                        e2a=e2a,
+                    )
+                else:
+                    out = decode_records(
+                        m,
+                        leaves,
+                        ebcdic=ebcdic,
+                        trim=trim,
+                        floating_point_format=float_format,
+                        debug=debug,
+                        e2a=e2a,
+                    )
                 out["_src_file"] = path
                 out["_src_offset"] = pd.Series(offsets, dtype="int64")
                 yield out[col_order]
@@ -218,18 +255,88 @@ def _frame_rdw(
     return bytes(recs), offsets
 
 
+def _counter_reader(counter_leaf: Leaf, ebcdic: bool, e2a: np.ndarray):
+    """Per-record ODO counter extractor for framing: a direct byte parse
+    of one small integer at a fixed offset (display digits, COMP binary,
+    or COMP-3 packed) — framing is inherently sequential, so this runs
+    once per record like the RDW length read."""
+    f = counter_leaf.f
+    off, end = counter_leaf.offset, counter_leaf.offset + f.size
+    if f.usage == "comp":
+        def read(raw: bytes, pos: int) -> int:
+            return int.from_bytes(raw[pos + off : pos + end], "big", signed=True)
+    elif f.usage == "comp3":
+        def read(raw: bytes, pos: int) -> int:
+            b = raw[pos + off : pos + end]
+            if not b:
+                return 0
+            digits = "".join(f"{x >> 4}{x & 0xF}" for x in b)[:-1]
+            digits = "".join(d for d in digits if d.isdigit())
+            v = int(digits) if digits else 0
+            return -v if (b[-1] & 0xF) == 0xD else v
+    else:  # DISPLAY digits (counters are conventionally unsigned zoned)
+        def read(raw: bytes, pos: int) -> int:
+            b = raw[pos + off : pos + end]
+            if ebcdic:
+                b = bytes(int(v) for v in e2a[np.frombuffer(b, np.uint8)])
+            s = "".join(ch for ch in b.decode("ascii", "replace") if ch.isdigit())
+            return int(s) if s else 0
+    return read
+
+
+def _frame_odo(
+    raw: bytes,
+    lrecl: int,
+    read_counter,
+    base_size: int,
+    item_size: int,
+    max_occurs: int,
+    base: int,
+    emit_from: int = 0,
+) -> tuple[bytes, list[int]]:
+    """Frame back-to-back variable-length OCCURS DEPENDING ON records:
+    each record's on-disk length is ``base_size - (max - count) *
+    item_size`` with count read from its fixed-offset counter field.
+    Like RDW, framing is sequential (record N's start depends on every
+    prior length), so ODO files parallelize per file, and ``emit_from``
+    gives the same append-resume semantics as _frame_rdw. Records are
+    padded to the static (max-occurrence) lrecl for the rectangular
+    decode matrix; the pad bytes are never read (the per-count layouts
+    stop at the record's true length). A torn trailing record claims
+    nothing."""
+    recs = bytearray()
+    offsets: list[int] = []
+    pos = 0
+    while pos < len(raw):
+        # the counter lives in the fixed prefix — a fragment too short to
+        # contain it is a torn record
+        probe_end = pos + base_size - (max_occurs * item_size)
+        if probe_end > len(raw):
+            break
+        c = read_counter(raw, pos)
+        c = max(0, min(int(c), max_occurs))
+        ln = base_size - (max_occurs - c) * item_size
+        if ln <= 0 or pos + ln > len(raw):
+            break
+        if base + pos + ln > emit_from:
+            recs += raw[pos : pos + ln].ljust(lrecl, b"\x00")
+            offsets.append(base + pos)
+        pos += ln
+    return bytes(recs), offsets
+
+
 def _plan_tasks(
-    items: list[WorkItem], lrecl: int, opts: CobolOptions
+    items: list[WorkItem], lrecl: int, opts: CobolOptions, sequential: bool = False
 ) -> list[tuple[str, int, int]]:
     tasks = []
     chunk = max(int(opts.split_size_mb * 1024 * 1024) // lrecl, 1) * lrecl
     for w in items:
         if w.snap_length <= 0:
             continue
-        if opts.is_record_sequence:
-            # RDW framing is sequential: always scan from byte 0, but emit
-            # only records extending past the committed offset (see
-            # _frame_rdw emit_from) so appended files don't re-emit history
+        if sequential:
+            # RDW/ODO framing is sequential: always scan from byte 0, but
+            # emit only records extending past the committed offset (see
+            # _frame_rdw/_frame_odo emit_from) so appends don't re-emit
             tasks.append((w.path, 0, w.snap_length, w.start_offset))
             continue
         # Resume on a record boundary, rounding DOWN: the engine commits the
@@ -256,6 +363,23 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
         out.append(F.col(flat).alias(f.name))
         if opts.debug:
             out.append(F.col(flat + "__debug").alias(f.name + "_debug"))
+
+    odo = find_odo(root)
+    odo_counter_flat = (
+        next(l.flat for l in flatten(root) if l.f is odo[1])
+        if odo is not None
+        else None
+    )
+
+    def odo_trim(arr: "F.Column", f: Field) -> "F.Column":
+        """Slice an OCCURS DEPENDING ON array down to its row's counter
+        value (clamped to [0, max]) — occurrences beyond the count are
+        layout artifacts, not data."""
+        cnt = F.least(
+            F.greatest(F.col(odo_counter_flat).cast("int"), F.lit(0)),
+            F.lit(f.occurs),
+        )
+        return F.slice(arr, F.lit(1), cnt)
 
     def has_named_leaf(f: Field) -> bool:
         if f.is_group:
@@ -285,11 +409,20 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
                 per_rep.append(cols)
         if f.occurs:
             if f.is_group:
-                return [F.array(*per_rep).alias(f.name)]
-            out = [F.array(*[c[0] for c in per_rep]).alias(f.name)]
+                arr = F.array(*per_rep)
+                if f.depending_on:
+                    arr = odo_trim(arr, f)
+                return [arr.alias(f.name)]
+            arr = F.array(*[c[0] for c in per_rep])
+            if f.depending_on:
+                arr = odo_trim(arr, f)
+            out = [arr.alias(f.name)]
             if opts.debug:
                 # keep the per-occurrence raw-hex debug columns too
-                out.append(F.array(*[c[1] for c in per_rep]).alias(f.name + "_debug"))
+                dbg = F.array(*[c[1] for c in per_rep])
+                if f.depending_on:
+                    dbg = odo_trim(dbg, f)
+                out.append(dbg.alias(f.name + "_debug"))
             return out
         if f.is_group:
             return [per_rep[0].alias(f.name)]

@@ -10,6 +10,8 @@ mainframe data-format rules directly:
 - copybook grammar: level numbers, nested groups, ``PIC`` clauses
   (9/X/A/S/V/P/Z and editing characters), ``USAGE`` COMP/COMP-0/COMP-4/
   COMP-5/BINARY, COMP-1, COMP-2, COMP-3/PACKED-DECIMAL, ``OCCURS n``,
+  ``OCCURS [min TO] max DEPENDING ON counter`` (single ODO, counter
+  before the array — see find_odo/specialize_odo),
   ``REDEFINES``, ``SIGN [IS] LEADING|TRAILING [SEPARATE [CHARACTER]]``,
   FILLER, level-88 condition names (skipped), comment columns (the
   reference pins Cobrix's CommentPolicy(true, 6, 72) —
@@ -50,8 +52,11 @@ __all__ = [
     "CopybookError",
     "Field",
     "parse_copybook",
+    "find_odo",
+    "specialize_odo",
     "flatten",
     "decode_records",
+    "decode_records_odo",
     "encode_records",
     "spark_type_for",
 ]
@@ -83,7 +88,9 @@ class Field:
     name: str
     pic: Picture | None = None
     usage: str = "display"  # display|comp|comp1|comp2|comp3
-    occurs: int = 0  # 0 = not an array
+    occurs: int = 0  # 0 = not an array (for ODO: the MAX occurrence count)
+    occurs_min: int = 0  # OCCURS min TO max DEPENDING ON lower bound
+    depending_on: str | None = None  # ODO counter item name
     redefines: str | None = None
     sign_separate: bool = False
     sign_leading: bool = False  # overpunch/separate position
@@ -256,11 +263,21 @@ def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
                 f.redefines = toks[i].upper().replace("-", "_")
             elif t == "OCCURS":
                 i += 1
-                f.occurs = int(toks[i])
+                lo = int(toks[i])
+                if i + 1 < len(toks) and toks[i + 1].upper() == "TO":
+                    f.occurs_min = lo
+                    i += 2
+                    f.occurs = int(toks[i])
+                else:
+                    f.occurs = lo
                 if i + 1 < len(toks) and toks[i + 1].upper() == "TIMES":
                     i += 1
                 if i + 1 < len(toks) and toks[i + 1].upper() == "DEPENDING":
-                    raise CopybookError("OCCURS DEPENDING ON is not supported")
+                    i += 1
+                    if i + 1 < len(toks) and toks[i + 1].upper() == "ON":
+                        i += 1
+                    i += 1
+                    f.depending_on = toks[i].upper().replace("-", "_")
             elif t in ("COMP", "COMP-0", "COMP-4", "COMP-5", "BINARY"):
                 f.usage = "comp"
             elif t == "COMP-1":
@@ -369,6 +386,171 @@ def _layout(group: Field) -> int:
         by_name[f.name] = f
     group.size = end - group.offset
     return group.size
+
+
+# ---------------------------------------------------- OCCURS DEPENDING ON
+
+
+def find_odo(root: Field) -> tuple[Field, Field] | None:
+    """Locate the single ``OCCURS ... DEPENDING ON`` field and its counter
+    item, or None when the copybook has no ODO.
+
+    Supported envelope (raises CopybookError outside it): exactly one ODO
+    item, in a single-01-variant copybook; the counter is an elementary
+    non-array item laid out at a fixed offset BEFORE the variable array
+    (the universal mainframe convention — the reader must know the count
+    before it can frame the record). Cobrix exposes the same
+    variable-length surface via its VarLenReader config
+    (ref CobolFileReader.java:47-92)."""
+    odos: list[Field] = []
+    by_name: dict[str, tuple[Field, bool]] = {}
+
+    def walk(f: Field, in_array: bool) -> None:
+        for ch in f.children:
+            ch_in_array = in_array or bool(ch.occurs)
+            if ch.depending_on:
+                odos.append(ch)
+            by_name.setdefault(ch.name, (ch, in_array))
+            if ch.is_group:
+                walk(ch, ch_in_array)
+
+    walk(root, False)
+    if not odos:
+        return None
+    if len(odos) > 1:
+        raise CopybookError("Only one OCCURS DEPENDING ON item is supported")
+    if len(root.children) > 1:
+        raise CopybookError(
+            "OCCURS DEPENDING ON with multiple 01-level record variants is "
+            "not supported"
+        )
+    odo = odos[0]
+    ent = by_name.get(odo.depending_on)
+    if ent is None:
+        raise CopybookError(
+            f"OCCURS DEPENDING ON references unknown item {odo.depending_on!r}"
+        )
+    counter, counter_in_array = ent
+    if counter.is_group or counter.occurs or counter_in_array:
+        raise CopybookError(
+            "DEPENDING ON counter must be an elementary, non-repeating item"
+        )
+    if counter.offset >= odo.offset:
+        raise CopybookError(
+            "DEPENDING ON counter must be laid out before the variable array"
+        )
+    return odo, counter
+
+
+def specialize_odo(root: Field, count: int) -> Field:
+    """A deep copy of the tree with the ODO array fixed at ``count``
+    occurrences and the layout recomputed — fields AFTER the array shift
+    left, exactly how a variable-length mainframe record compacts on
+    disk. ``count==0`` removes the array entirely. The copy's flattened
+    leaf names are a prefix-subset of the max-occurrence names (indexing
+    is positional), so per-count decodes union cleanly."""
+    import copy as _copy
+
+    r = _copy.deepcopy(root)
+
+    def locate(parent: Field):
+        for idx, ch in enumerate(parent.children):
+            if ch.depending_on:
+                return parent, idx, ch
+            if ch.is_group:
+                got = locate(ch)
+                if got:
+                    return got
+        return None
+
+    found = locate(r)
+    if found is None:
+        raise CopybookError("specialize_odo: no OCCURS DEPENDING ON item")
+    parent, idx, f = found
+    if count <= 0:
+        parent.children.pop(idx)
+    else:
+        f.occurs = count
+        f.depending_on = None
+    for top in r.children:
+        top.offset = 0
+        if top.is_group:
+            _layout(top)
+        else:
+            top.size = _field_size(top)
+    r.size = max((c.offset + c.extent for c in r.children), default=0)
+    return r
+
+
+def decode_records_odo(
+    records: np.ndarray,
+    root: Field,
+    *,
+    ebcdic: bool = True,
+    trim: str = "both",
+    floating_point_format: str = "ibm",
+    debug: bool = False,
+    e2a: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Decode variable-layout (OCCURS DEPENDING ON) records.
+
+    Rows are grouped by their decoded counter value and each group
+    decodes against the layout specialized to that count — fields after
+    the array sit at compacted offsets, exactly as written on disk. Work
+    stays numpy-vectorized per distinct count (≤ max-occurrences layouts
+    total), never per record. Occurrences beyond a row's count (and
+    their debug columns) come back null; output columns and order equal
+    the max-occurrence flatten."""
+    found = find_odo(root)
+    if found is None:
+        raise CopybookError("decode_records_odo: no OCCURS DEPENDING ON item")
+    odo, counter = found
+    static_leaves = flatten(root)
+    counter_leaf = next(l for l in static_leaves if l.f is counter)
+    col_order: list[str] = []
+    for l in static_leaves:
+        col_order.append(l.flat)
+        if debug:
+            col_order.append(l.flat + "__debug")
+    if records.shape[0] == 0:
+        return pd.DataFrame({c: pd.Series(dtype=object) for c in col_order})
+    cvals = decode_records(
+        records, [counter_leaf], ebcdic=ebcdic, trim=trim,
+        floating_point_format=floating_point_format, e2a=e2a,
+    )[counter_leaf.flat]
+    cnt = (
+        pd.to_numeric(cvals, errors="coerce")
+        .fillna(0)
+        .clip(0, odo.occurs)
+        .astype(int)
+        .to_numpy()
+    )
+    parts: list[pd.DataFrame] = []
+    idxs: list[np.ndarray] = []
+    for c in np.unique(cnt):
+        rows = np.nonzero(cnt == c)[0]
+        sub_leaves = flatten(specialize_odo(root, int(c)))
+        pdf = decode_records(
+            records[rows], sub_leaves, ebcdic=ebcdic, trim=trim,
+            floating_point_format=floating_point_format, debug=debug, e2a=e2a,
+        )
+        for col in col_order:
+            if col not in pdf.columns:
+                # object dtype, not all-NA float: keeps pd.concat dtype
+                # resolution deterministic across pandas versions
+                pdf[col] = pd.Series([None] * len(pdf), dtype=object)
+        parts.append(pdf[col_order])
+        idxs.append(rows)
+    import warnings
+
+    with warnings.catch_warnings():
+        # beyond-count occurrence columns are intentionally all-NA in
+        # some groups; pandas' dtype-resolution FutureWarning for that
+        # case is expected and the object dtype pins the behavior
+        warnings.simplefilter("ignore", FutureWarning)
+        out = pd.concat(parts, ignore_index=True)
+    perm = np.argsort(np.concatenate(idxs), kind="stable")
+    return out.iloc[perm].reset_index(drop=True)
 
 
 # ------------------------------------------------------------------ flatten

@@ -9,6 +9,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pytest
 
 from kafka_connect_fs_spark.sources.cobol import CobolOptions, read_cobol
@@ -135,9 +136,140 @@ def test_empty_copybook_raises():
         parse_copybook("   ")
 
 
-def test_occurs_depending_unsupported():
+ODO_CPY = (
+    "01 R. 05 CNT PIC 9(2). "
+    "05 ARR OCCURS 1 TO 4 DEPENDING ON CNT PIC 9(3). "
+    "05 TAIL PIC X(2)."
+)
+
+
+def test_occurs_depending_parses_and_validates():
+    from kafka_connect_fs_spark.sources.copybook import find_odo, specialize_odo
+
+    root = parse_copybook(ODO_CPY)
+    odo, counter = find_odo(root)
+    assert (odo.name, odo.occurs, odo.occurs_min, odo.depending_on) == (
+        "ARR", 4, 1, "CNT",
+    )
+    assert counter.name == "CNT" and counter.offset == 0
+    # layout sizes the record at MAX occurrences; specialization compacts
+    assert root.children[0].size == 2 + 4 * 3 + 2
+    assert specialize_odo(root, 2).size == 2 + 2 * 3 + 2
+    assert [l.flat for l in flatten(specialize_odo(root, 0))] == ["r__cnt", "r__tail"]
+    # plain OCCURS n DEPENDING ON (no TO) also parses
+    r2 = parse_copybook("01 R. 05 N PIC 9(2). 05 A OCCURS 5 DEPENDING ON N PIC X.")
+    assert find_odo(r2) is not None
+
+
+def test_occurs_depending_envelope_violations():
+    from kafka_connect_fs_spark.sources.copybook import find_odo
+
+    # counter AFTER the array: framing cannot know the length
     with pytest.raises(CopybookError):
-        parse_copybook("01 R. 05 N PIC 9(2). 05 A OCCURS 5 DEPENDING ON N PIC X.")
+        find_odo(parse_copybook(
+            "01 R. 05 A OCCURS 1 TO 3 DEPENDING ON N PIC X. 05 N PIC 9(2)."
+        ))
+    # two ODO items
+    with pytest.raises(CopybookError):
+        find_odo(parse_copybook(
+            "01 R. 05 N PIC 9(2). 05 A OCCURS 1 TO 3 DEPENDING ON N PIC X. "
+            "05 B OCCURS 1 TO 3 DEPENDING ON N PIC X."
+        ))
+    # unknown counter
+    with pytest.raises(CopybookError):
+        find_odo(parse_copybook(
+            "01 R. 05 A OCCURS 1 TO 3 DEPENDING ON NOPE PIC X."
+        ))
+    # multiple 01 variants with an ODO
+    with pytest.raises(CopybookError):
+        find_odo(parse_copybook(
+            "01 R1. 05 N PIC 9(2). 05 A OCCURS 1 TO 3 DEPENDING ON N PIC X. "
+            "01 R2. 05 X PIC X(5)."
+        ))
+
+
+def _odo_record(cnt: int, items: list[int], tail: str) -> bytes:
+    return (f"{cnt:02d}" + "".join(f"{v:03d}" for v in items) + tail).encode("cp037")
+
+
+def test_decode_records_odo_compacted_layouts():
+    """Rows group by counter value; post-array fields decode from their
+    COMPACTED per-record offsets; beyond-count occurrences are null."""
+    from kafka_connect_fs_spark.sources.copybook import decode_records_odo
+
+    root = parse_copybook(ODO_CPY)
+    recs = [
+        _odo_record(2, [111, 222], "AB"),
+        _odo_record(4, [111, 222, 333, 444], "CD"),
+        _odo_record(1, [999], "EF"),
+    ]
+    lrecl = 16
+    m = np.zeros((3, lrecl), np.uint8)
+    for i, b in enumerate(recs):
+        m[i, : len(b)] = np.frombuffer(b, np.uint8)
+    df = decode_records_odo(m, root)
+    assert list(df["r__cnt"]) == [2, 4, 1]
+    assert list(df["r__tail"]) == ["AB", "CD", "EF"]
+    assert list(df["r__arr_0"]) == [111, 111, 999]
+    assert df["r__arr_1"][0] == 222 and pd.isna(df["r__arr_1"][2])
+    assert pd.isna(df["r__arr_2"][0]) and df["r__arr_3"][1] == 444
+
+
+def test_read_cobol_odo_variable_records(spark, tmp_path):
+    """E2E: back-to-back variable-length ODO records frame sequentially
+    (split planner falls back to the per-file path), arrays come out
+    trimmed to the counter, post-array fields decode correctly, and
+    resume/torn-tail semantics match the RDW path."""
+    recs = [
+        _odo_record(2, [111, 222], "AB"),
+        _odo_record(4, [111, 222, 333, 444], "CD"),
+        _odo_record(1, [999], "EF"),
+    ]
+    p = str(tmp_path / "odo.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    opts = {"copybook_content": ODO_CPY, "schema_policy": "collapse_root"}
+    df = read_cobol(spark, [item(p)], opts)
+    rows = df.orderBy("_src_offset").collect()
+    assert [r.CNT for r in rows] == [2, 4, 1]
+    assert rows[0].ARR == [111, 222] and rows[0].TAIL == "AB"
+    assert rows[1].ARR == [111, 222, 333, 444] and rows[1].TAIL == "CD"
+    assert rows[2].ARR == [999] and rows[2].TAIL == "EF"
+    assert [r._src_offset for r in rows] == [0, 10, 26]
+    # resume from the second record's offset: only records past it emit
+    got = read_cobol(spark, [WorkItem(p, 10, os.path.getsize(p))], opts)
+    assert sorted(r.CNT for r in got.collect()) == [1, 4]
+    # torn tail (half a record appended) claims nothing
+    with open(p, "ab") as f:
+        f.write(_odo_record(3, [123, 456, 789], "GH")[:5])
+    assert read_cobol(spark, [item(p)], opts).count() == 3
+
+
+def test_read_cobol_odo_fixed_padded_records(spark, tmp_path):
+    """Explicit record_length declares the fixed PADDED convention: the
+    array occupies max extent at static offsets; occurrences beyond the
+    counter are trimmed during reassembly."""
+    lrecl = 16
+    recs = [
+        _odo_record(2, [111, 222, 0, 0], "AB"),
+        _odo_record(4, [111, 222, 333, 444], "CD"),
+    ]
+    p = str(tmp_path / "odo_fixed.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    df = read_cobol(
+        spark,
+        [item(p)],
+        {
+            "copybook_content": ODO_CPY,
+            "schema_policy": "collapse_root",
+            "record_length": lrecl,
+        },
+    )
+    rows = df.orderBy("_src_offset").collect()
+    assert rows[0].ARR == [111, 222] and rows[0].TAIL == "AB"
+    assert rows[1].ARR == [111, 222, 333, 444] and rows[1].TAIL == "CD"
+    assert [r._src_offset for r in rows] == [0, 16]
 
 
 def test_level_88_and_filler_handling():
