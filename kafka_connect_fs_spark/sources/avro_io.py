@@ -350,32 +350,119 @@ def _default_value(field: dict):
     return d
 
 
+# The spec's type-promotion lattice ('Schema Resolution'): a writer type
+# (key) is readable as any member of its value set.
+_PROMOTIONS = {
+    "null": {"null"},
+    "boolean": {"boolean"},
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _primitive_name(t) -> str | None:
+    """The primitive type name of a schema, or None for unions/complex
+    types (those resolve structurally downstream)."""
+    if isinstance(t, str):
+        return t if t in _PROMOTIONS else None
+    if isinstance(t, dict):
+        tn = t.get("type")
+        return tn if tn in _PROMOTIONS else None
+    return None
+
+
 def reader_defaults(writer_schema: dict, reader_schema: dict) -> dict:
+    """Defaults for reader fields absent from the writer (by name AND
+    alias); a missing field without a default is a resolution error.
+    Returns {field_name: default_value}. Kept as the narrow public
+    surface; resolve_fields() below is the full plan."""
+    return resolve_fields(writer_schema, reader_schema)[1]
+
+
+def resolve_fields(
+    writer_schema: dict, reader_schema: dict
+) -> tuple[list, dict, dict]:
     """Avro schema resolution for records (the spec's 'Schema Resolution'
     rules, the part GenericDatumReader(writer, reader) applies in
-    AvroFileReader.java:43-47): reader fields ABSENT from the writer take
-    their declared default; a missing field without a default is a
-    resolution error. Returns {field_name: default_value}."""
-    writer_names = {f["name"] for f in writer_schema.get("fields", [])}
-    out = {}
+    AvroFileReader.java:43-47):
+
+    - reader fields match writer fields by NAME, else by any reader-side
+      ALIAS (the rename mechanism);
+    - a reader field with no writer match takes its declared default;
+      no default is a resolution error;
+    - primitive writer→reader type changes must follow the promotion
+      lattice (int→long/float/double, long→float/double, float→double,
+      string↔bytes) — anything else is a resolution error; string↔bytes
+      get a value converter (the numeric promotions need none: values
+      widen losslessly downstream);
+    - writer-only fields are dropped.
+
+    Returns (plan, defaults, converters): plan is
+    [(reader_name, writer_name_or_None)], defaults maps unmatched reader
+    names to their materialized default, converters maps reader names to
+    value-conversion callables."""
+    writer_fields = {f["name"]: f for f in writer_schema.get("fields", [])}
+    plan: list[tuple[str, str | None]] = []
+    defaults: dict = {}
+    converters: dict = {}
     for f in reader_schema.get("fields", []):
-        if f["name"] in writer_names:
+        rname = f["name"]
+        src = rname if rname in writer_fields else None
+        if src is None:
+            for alias in f.get("aliases") or []:
+                if alias in writer_fields:
+                    src = alias
+                    break
+        if src is None:
+            if "default" not in f:
+                raise ValueError(
+                    f"reader field {rname!r} absent from writer schema "
+                    "and has no default (Avro schema-resolution error)"
+                )
+            defaults[rname] = _default_value(f)
+            plan.append((rname, None))
             continue
-        if "default" not in f:
-            raise ValueError(
-                f"reader field {f['name']!r} absent from writer schema "
-                "and has no default (Avro schema-resolution error)"
-            )
-        out[f["name"]] = _default_value(f)
-    return out
+        wt = _primitive_name(writer_fields[src]["type"])
+        rt = _primitive_name(f["type"])
+        if wt is not None and rt is not None:
+            if rt not in _PROMOTIONS[wt]:
+                raise ValueError(
+                    f"cannot resolve writer type {wt!r} as reader type "
+                    f"{rt!r} for field {rname!r} (Avro schema-resolution "
+                    "error)"
+                )
+            if wt == "bytes" and rt == "string":
+                converters[rname] = (
+                    lambda v: v.decode("utf-8", "replace")
+                    if isinstance(v, (bytes, bytearray))
+                    else v
+                )
+            elif wt == "string" and rt == "bytes":
+                converters[rname] = (
+                    lambda v: v.encode("utf-8") if isinstance(v, str) else v
+                )
+        plan.append((rname, src))
+    return plan, defaults, converters
 
 
 def resolve_records(records: list, writer_schema: dict, reader_schema: dict) -> list:
-    """Apply record-level resolution: inject reader defaults for fields the
-    writer lacks, drop writer-only fields the reader doesn't declare."""
-    defaults = reader_defaults(writer_schema, reader_schema)
-    keep = [f["name"] for f in reader_schema.get("fields", [])]
-    return [
-        {name: (r[name] if name in r else defaults[name]) for name in keep}
-        for r in records
-    ]
+    """Apply record-level resolution: match by name/alias, inject reader
+    defaults for fields the writer lacks, convert string↔bytes
+    promotions, drop writer-only fields."""
+    plan, defaults, converters = resolve_fields(writer_schema, reader_schema)
+    out = []
+    for r in records:
+        row = {}
+        for rname, src in plan:
+            if src is None:
+                row[rname] = r[rname] if rname in r else defaults[rname]
+            else:
+                v = r.get(src)
+                conv = converters.get(rname)
+                row[rname] = conv(v) if (conv is not None and v is not None) else v
+        out.append(row)
+    return out

@@ -204,6 +204,71 @@ def test_reader_schema_defaults_materialize(spark, tmp_path):
     assert wd == {"raw": b"ab"}
 
 
+def test_reader_schema_promotions_and_aliases(spark, tmp_path):
+    """VERDICT r4 #3 — the rest of the spec's Schema Resolution rules
+    (ref AvroFileReader.java:43-47): writer int read as reader long /
+    double with exact values, string↔bytes promotion converts values,
+    a reader field ALIAS matches a renamed writer field, and an illegal
+    narrowing (writer long → reader int) is a resolution error."""
+    p = str(tmp_path / "promote.avro")
+    write_container(p, SCHEMA, recs(5))
+    reader = {
+        "type": "record",
+        "name": "Turn",
+        "fields": [
+            # renamed via alias: value comes from writer field conv_id
+            {"name": "conversation", "type": "string", "aliases": ["conv_id"]},
+            {"name": "turn_idx", "type": "long"},       # int -> long
+            {"name": "score", "type": "double"},         # identity
+            {"name": "payload", "type": "string"},       # bytes -> string
+            {"name": "kind_note", "type": "bytes", "default": "zz"},
+        ],
+    }
+    df = read_avro_python(
+        spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=reader
+    )
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    rows = df.orderBy("turn_idx").collect()
+    assert [r.conversation for r in rows] == [f"c{i}" for i in range(5)]
+    assert [r.turn_idx for r in rows] == list(range(5))
+    # bytes payload [i, 255, 0] decodes utf-8/replace as a string
+    assert rows[0].payload == bytes([0, 255, 0]).decode("utf-8", "replace")
+    assert all(bytes(r.kind_note) == b"zz" for r in rows)
+    # int -> double promotion keeps exact small values
+    reader_d = {
+        "type": "record",
+        "name": "Turn",
+        "fields": [{"name": "turn_idx", "type": "double"}],
+    }
+    got = read_avro_python(
+        spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=reader_d
+    ).orderBy("turn_idx").collect()
+    assert [r.turn_idx for r in got] == [float(i) for i in range(5)]
+    # illegal narrowing: writer long -> reader int
+    bad = {
+        "type": "record",
+        "name": "Turn",
+        "fields": [{"name": "big", "type": "int"}],
+    }
+    with pytest.raises(Exception, match="cannot resolve"):
+        read_avro_python(
+            spark, [WorkItem(p, 0, os.path.getsize(p))], reader_schema=bad
+        ).collect()
+
+
+def test_resolve_fields_string_to_bytes_and_alias_unit():
+    from kafka_connect_fs_spark.sources.avro_io import resolve_records
+
+    writer = {"fields": [{"name": "old_name", "type": "string"}]}
+    reader = {
+        "fields": [
+            {"name": "new_name", "type": "bytes", "aliases": ["old_name"]}
+        ]
+    }
+    out = resolve_records([{"old_name": "hé"}], writer, reader)
+    assert out == [{"new_name": "hé".encode("utf-8")}]
+
+
 def test_union_encode_matches_value_type():
     """Multi-branch non-null unions must encode by the VALUE's type, not
     the first non-null branch (["string","int"] given 3 used to crash)."""
