@@ -27,7 +27,10 @@ import time
 import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
 
-def _ingest_throughput(spark, sf_dir: str, n_files: int = 64, multiplier: int = 10) -> dict:
+def _ingest_throughput(
+    spark, sf_dir: str, n_files: int = 64, multiplier: int = 10,
+    job_group: str | None = None,
+) -> dict:
     """Full-engine ingest of transcript change events synthesized from the
     events table (replicated ``multiplier``× with shifted versions/ts so
     LWW has real work); returns events/sec.
@@ -89,9 +92,15 @@ def _ingest_throughput(spark, sf_dir: str, n_files: int = 64, multiplier: int = 
 
         make_engine("_warmup").run_once()
 
+        if job_group:
+            # scope the TIMED run's jobs for REST-profile attribution
+            # (tools/scaling_evidence.py filters stages by this group)
+            spark.sparkContext.setJobGroup(job_group, "timed ingest")
         t0 = time.monotonic()
         res = make_engine("").run_once()
         dt = time.monotonic() - t0
+        if job_group:
+            spark.sparkContext.setJobGroup(None, None)
         assert res.n_events == n_events, (res.n_events, n_events)
         return {
             "events": n_events,
@@ -337,6 +346,19 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = _scaling(sf_dir)
+        # the north rule's N→4N criterion on a MULTI-JVM topology:
+        # local-cluster[1,8] vs local-cluster[4,8] — separate executor
+        # heaps/GC and real shuffle transport, the closest in-sandbox
+        # stand-in for 1 vs 4 executors (tools/scaling_evidence.py has
+        # the full matrix + REST-profile bottleneck breakdown)
+        try:
+            from tools.scaling_evidence import throughput_matrix
+
+            result["scaling_multijvm"] = throughput_matrix(
+                sf_dir, multiplier=60, rounds=2
+            )
+        except Exception as e:  # never fail the bench line for the extra leg
+            result["scaling_multijvm"] = {"error": f"{type(e).__name__}: {e}"}
 
     print(json.dumps(result))
 

@@ -17,14 +17,20 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
+    """``master`` overrides the default ``local[cores]`` — e.g.
+    ``local-cluster[4,8,4096]`` spawns 4 separate executor JVMs × 8 cores
+    (real shuffle transport, separate heaps/GC), the closest in-sandbox
+    stand-in for an N-executor cluster topology; pass ``cores`` as the
+    TOTAL core count so shuffle partitions still size correctly."""
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        .master(master or f"local[{cores}]")
         # AQE: coalesce small shuffle partitions, split skewed ones at runtime.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
