@@ -24,24 +24,67 @@ def content_hash(text: Column) -> Column:
     return F.md5(text)
 
 
-def _widen_degenerate_scan(df: DataFrame, cap: int = 16) -> DataFrame:
-    """Repartition ONLY a degenerate few-file scan (a 1-file table scans
-    as ~one task and serializes the downstream explode).
+def _file_size(uri: str) -> int | None:
+    import os
 
-    The decision uses driver-side scan metadata (``df.inputFiles()``, read
-    from the plan's FileIndex) — never ``df.rdd``, which would force a
-    logical→RDD conversion and materialize a second physical plan per
-    call. Non-file inputs (in-memory test frames) and inputs with ≥cap
-    files pass through untouched, so at real scale (thousands of files)
-    this is metadata-only and plan-neutral."""
+    try:
+        if uri.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            return os.path.getsize(unquote(urlparse(uri).path))
+        if "://" in uri:
+            import pyarrow.fs as pafs
+
+            fs, sub = pafs.FileSystem.from_uri(uri)
+            info = fs.get_file_info(sub)
+            return info.size
+        return os.path.getsize(uri)
+    except Exception:
+        return None
+
+
+def _widen_degenerate_scan(df: DataFrame, cap: int = 16) -> DataFrame:
+    """Repartition ONLY a degenerate few-SPLIT scan (a small 1-file table
+    scans as ~one task and serializes the downstream explode).
+
+    The decision uses driver-side scan metadata (``df.inputFiles()`` from
+    the plan's FileIndex, plus file sizes for the few-file case) — never
+    ``df.rdd``, which would force a logical→RDD conversion per call. A
+    single LARGE splittable file already fans out by maxPartitionBytes,
+    so splits are estimated from bytes (non-splittable .gz/.bz2 count as
+    one split each) and a big file is NOT needlessly shuffled. Non-file
+    inputs (in-memory test frames) and inputs with ≥cap files pass
+    through untouched, so at real scale this is metadata-only and
+    plan-neutral."""
+    import math
+
     try:
         files = df.inputFiles()
     except Exception:
         return df
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if files and len(files) < min(target, cap):
-        return df.repartition(target)
-    return df
+    if not files:
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    threshold = min(target, cap)
+    if len(files) >= threshold:
+        return df
+    try:
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:
+        max_pb = 128 * 1024 * 1024
+    est_splits = 0
+    for p in files:
+        size = _file_size(p)
+        if size is None or p.endswith((".gz", ".bz2")):
+            est_splits += 1
+        else:
+            est_splits += max(1, math.ceil(size / max_pb))
+        if est_splits >= threshold:
+            return df
+    return df.repartition(target)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -263,17 +263,28 @@ def _counter_reader(counter_leaf: Leaf, ebcdic: bool, e2a: np.ndarray):
     f = counter_leaf.f
     off, end = counter_leaf.offset, counter_leaf.offset + f.size
     if f.usage == "comp":
+        # PIC 9(n) counters are unsigned; only a signed picture reads as
+        # two's-complement (signed=True on an unsigned counter would flip
+        # large counts negative and desync framing)
+        signed = bool(f.pic and f.pic.signed)
+
         def read(raw: bytes, pos: int) -> int:
-            return int.from_bytes(raw[pos + off : pos + end], "big", signed=True)
+            return int.from_bytes(raw[pos + off : pos + end], "big", signed=signed)
     elif f.usage == "comp3":
         def read(raw: bytes, pos: int) -> int:
             b = raw[pos + off : pos + end]
             if not b:
                 return 0
-            digits = "".join(f"{x >> 4}{x & 0xF}" for x in b)[:-1]
-            digits = "".join(d for d in digits if d.isdigit())
-            v = int(digits) if digits else 0
-            return -v if (b[-1] & 0xF) == 0xD else v
+            nibbles: list[int] = []
+            for x in b:
+                nibbles.append(x >> 4)
+                nibbles.append(x & 0xF)
+            sign = nibbles[-1]  # final nibble is C/D/F, never a digit
+            v = 0
+            for d in nibbles[:-1]:
+                if d < 10:
+                    v = v * 10 + d
+            return -v if sign == 0xD else v
     else:  # DISPLAY digits (counters are conventionally unsigned zoned)
         def read(raw: bytes, pos: int) -> int:
             b = raw[pos + off : pos + end]

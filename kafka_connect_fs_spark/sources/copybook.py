@@ -277,6 +277,10 @@ def _parse_copybook_mode(text: str, fixed: bool | None) -> Field:
                     if i + 1 < len(toks) and toks[i + 1].upper() == "ON":
                         i += 1
                     i += 1
+                    if i >= len(toks):
+                        raise CopybookError(
+                            f"OCCURS DEPENDING ON in {name} has no counter name"
+                        )
                     f.depending_on = toks[i].upper().replace("-", "_")
             elif t in ("COMP", "COMP-0", "COMP-4", "COMP-5", "BINARY"):
                 f.usage = "comp"
@@ -469,6 +473,22 @@ def specialize_odo(root: Field, count: int) -> Field:
     parent, idx, f = found
     if count <= 0:
         parent.children.pop(idx)
+
+        # removing the array can leave childless ex-GROUPS, which _layout
+        # would reject as elementary-without-PIC — prune them. is_group is
+        # derived from children, so an emptied group reads as a leaf: the
+        # tell is "no children AND no PIC" (COMP-1/2 legally omit PIC)
+        def prune(g: Field) -> None:
+            kept = []
+            for c in g.children:
+                if c.children:
+                    prune(c)
+                if not c.children and c.pic is None and c.usage not in ("comp1", "comp2"):
+                    continue
+                kept.append(c)
+            g.children = kept
+
+        prune(r)
     else:
         f.occurs = count
         f.depending_on = None

@@ -176,12 +176,15 @@ class S3EventNotificationsPolicy:
         self.event_regex = re.compile(event_regex)
         self.delete_messages = delete_messages
         self.ack_mode = ack_mode
-        # (receipt_handle, paths the message announced): after_commit acks
-        # only delete a message once EVERY announced path is durable —
-        # blanket acking would lose discoveries the engine capped out of
-        # the batch (files_per_trigger/bytes_per_trigger), which never
-        # reappear in an event-based listing
-        self._pending_acks: list[tuple[str, frozenset[str]]] = []
+        # message_id -> (receipt_handle, paths the message announced):
+        # after_commit acks only delete a message once EVERY announced
+        # path is durable — blanket acking would lose discoveries the
+        # engine capped out of the batch (files_per_trigger/
+        # bytes_per_trigger), which never reappear in an event-based
+        # listing. Keyed by message_id because SQS issues a NEW receipt
+        # handle on every redelivery (only the latest handle is valid
+        # for delete); values keep insertion order for deterministic acks
+        self._pending_acks: dict[str, tuple[str, frozenset[str]]] = {}
         self.stat_fn = stat_fn or _stat_uri
 
     def _in_bucket(self, record: S3EventRecord) -> bool:
@@ -215,12 +218,14 @@ class S3EventNotificationsPolicy:
             if self.delete_messages:
                 if self.ack_mode == "after_commit":
                     # a redelivered message (visibility timeout while its
-                    # paths drain) replaces its older pending entry
-                    self._pending_acks = [
-                        (h, p)
-                        for h, p in self._pending_acks
-                        if h != msg.receipt_handle
-                    ] + [(msg.receipt_handle, frozenset(msg_paths))]
+                    # paths drain) replaces its older pending entry —
+                    # matched by message_id, keeping the FRESH receipt
+                    # handle (the old one is invalid after redelivery)
+                    self._pending_acks.pop(msg.message_id, None)
+                    self._pending_acks[msg.message_id] = (
+                        msg.receipt_handle,
+                        frozenset(msg_paths),
+                    )
                 else:
                     self.queue.delete_message(msg.receipt_handle)
         return out
@@ -236,13 +241,13 @@ class S3EventNotificationsPolicy:
         queue redelivery after a crash. ``None`` acks everything (legacy
         / caller knows the whole batch committed)."""
         n = 0
-        keep: list[tuple[str, frozenset[str]]] = []
-        for handle, paths in self._pending_acks:
+        keep: dict[str, tuple[str, frozenset[str]]] = {}
+        for mid, (handle, paths) in self._pending_acks.items():
             if durable_paths is None or paths <= durable_paths:
                 self.queue.delete_message(handle)
                 n += 1
             else:
-                keep.append((handle, paths))
+                keep[mid] = (handle, paths)
         self._pending_acks = keep
         return n
 

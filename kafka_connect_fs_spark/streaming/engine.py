@@ -577,6 +577,15 @@ class IngestEngine:
         for f in raw_listing:
             if f.length > 0 and (f.path not in by_path or f.length > by_path[f.path].length):
                 by_path[f.path] = f
+        if cfg.discovery_fn is not None:
+            # zero-byte objects (empty uploads, 'folder' marker keys) are
+            # filtered above and owe nothing — their event messages must
+            # still ack or they redeliver forever; if the object later
+            # grows, that write emits its own event
+            self._vanished.update(
+                f.path for f in raw_listing
+                if f.length <= 0 and f.path not in by_path
+            )
         listing = [by_path[p] for p in sorted(by_path)]
         work, finished = self._plan(listing, wm_rows)
         snap = {w.path: w.snap_length for w in work}

@@ -245,6 +245,66 @@ def test_read_cobol_odo_variable_records(spark, tmp_path):
     assert read_cobol(spark, [item(p)], opts).count() == 3
 
 
+def test_odo_comp3_and_comp_counters(spark, tmp_path):
+    """Review r4: packed (COMP-3) counters must parse their BCD nibbles
+    correctly (the sign nibble is C/D/F — two hex chars when formatted
+    naively), and unsigned COMP counters must not flip negative."""
+    cpy3 = (
+        "01 R. 05 CNT PIC 9(3) COMP-3. "
+        "05 ARR OCCURS 1 TO 20 DEPENDING ON CNT PIC X(1). "
+        "05 TAIL PIC X(2)."
+    )
+    def rec3(cnt, tail):
+        return enc_packed(cnt, 3) + (b"A" * cnt) + tail.encode("cp037")
+
+    p = str(tmp_path / "odo3.dt")
+    with open(p, "wb") as f:
+        f.write(rec3(12, "XY") + rec3(5, "ZW") + rec3(20, "QQ"))
+    rows = (
+        read_cobol(spark, [item(p)], {"copybook_content": cpy3, "schema_policy": "collapse_root"})
+        .orderBy("_src_offset")
+        .collect()
+    )
+    assert [r.CNT for r in rows] == [12, 5, 20]
+    assert [len(r.ARR) for r in rows] == [12, 5, 20]
+    assert [r.TAIL for r in rows] == ["XY", "ZW", "QQ"]
+
+    # unsigned COMP counter >= 32768 must stay positive
+    from kafka_connect_fs_spark.sources.cobol import _counter_reader
+    from kafka_connect_fs_spark.sources.copybook import ebcdic_to_ascii_table
+
+    root = parse_copybook("01 R. 05 N PIC 9(5) COMP. 05 A OCCURS 1 TO 40000 DEPENDING ON N PIC X.")
+    leaf = next(l for l in flatten(root) if l.f.name == "N")
+    read = _counter_reader(leaf, True, ebcdic_to_ascii_table())
+    assert read((40000).to_bytes(4, "big"), 0) == 40000
+
+
+def test_odo_count_zero_with_sole_child_group():
+    """Review r4: count 0 where the ODO array is a group's only child —
+    specialize_odo must prune the childless group, not crash _layout."""
+    from kafka_connect_fs_spark.sources.copybook import decode_records_odo, specialize_odo
+
+    cpy = (
+        "01 R. 05 CNT PIC 9(2). "
+        "05 G. 10 A OCCURS 1 TO 3 DEPENDING ON CNT PIC 9(3). "
+        "05 TAIL PIC X(2)."
+    )
+    root = parse_copybook(cpy)
+    s0 = specialize_odo(root, 0)
+    assert [l.flat for l in flatten(s0)] == ["r__cnt", "r__tail"]
+    raw = ("00" + "XY").encode("cp037")
+    m = np.zeros((1, 13), np.uint8)
+    m[0, :4] = np.frombuffer(raw, np.uint8)
+    df = decode_records_odo(m, root)
+    assert df["r__cnt"][0] == 0 and df["r__tail"][0] == "XY"
+    assert pd.isna(df["r__g__a_0"][0])
+
+
+def test_occurs_depending_missing_counter_token():
+    with pytest.raises(CopybookError, match="no counter name"):
+        parse_copybook("01 R. 05 N PIC 9(2). 05 A OCCURS 3 DEPENDING ON.")
+
+
 def test_read_cobol_odo_fixed_padded_records(spark, tmp_path):
     """Explicit record_length declares the fixed PADDED convention: the
     array occupies max extent at static offsets; occurrences beyond the

@@ -223,6 +223,70 @@ def test_capped_batch_defers_ack_and_reoffers(spark, tmp_path):
     assert got == exp
 
 
+def test_zero_byte_object_event_still_acked(spark, tmp_path):
+    """Review r4: a 0-byte object (empty upload / folder marker) is
+    filtered from the batch, but its message must still ack after the
+    commit or it redelivers forever."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
+
+    bucket_dir = tmp_path / "bucket"
+    os.makedirs(bucket_dir)
+    (bucket_dir / "empty.jsonl").write_bytes(b"")
+    bucket = str(bucket_dir)
+    q = FakeQueue([s3_event_body(bucket, "empty.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, f"file://{bucket}", event_regex="ObjectCreated:.*",
+        ack_mode="after_commit",
+    )
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA, n_buckets=4,
+            discovery_fn=pol, discovery_ack_fn=pol.ack_pending,
+        ),
+    )
+    res = engine.run_once()
+    assert res.n_files == 0
+    assert q.deleted == ["rh0"]  # acked despite being filtered out
+    assert pol._pending_acks == {}
+
+
+def test_redelivered_message_rekeys_by_message_id():
+    """Review r4: SQS issues a NEW receipt handle per redelivery; pending
+    acks must key on message_id and delete with the FRESH handle, once."""
+
+    class RotatingQueue:
+        def __init__(self, bodies):
+            self.bodies = list(bodies)
+            self.deliveries = 0
+            self.deleted = []
+
+        def receive_messages(self):
+            self.deliveries += 1
+            return [
+                QueueMessage(f"m{i}", f"rh{i}-gen{self.deliveries}", b)
+                for i, b in enumerate(self.bodies)
+            ]
+
+        def delete_message(self, handle):
+            self.deleted.append(handle)
+
+    q = RotatingQueue([s3_event_body("b", "a.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, "s3://b", stat_fn=fake_stat({"s3://b/a.jsonl": 3}),
+        ack_mode="after_commit",
+    )
+    pol.poll()  # first delivery: handle rh0-gen1
+    pol.ack_pending(set())  # path not durable: kept pending
+    pol.poll()  # redelivery: handle rh0-gen2 replaces gen1
+    assert len(pol._pending_acks) == 1
+    assert pol.ack_pending({"s3://b/a.jsonl"}) == 1
+    assert q.deleted == ["rh0-gen2"]  # fresh handle, exactly once
+
+
 def test_stat_uri_bare_path(tmp_path):
     """ADVICE r4 low: a bare (non-URI) path must stat via the local fs,
     not raise IndexError on the '://' split."""
