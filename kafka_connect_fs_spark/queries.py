@@ -286,6 +286,139 @@ FROM ranked WHERE rn = 1
 """
 
 
+def q_lake_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot isolation / time travel: read the table AS OF the first
+    batch's commit version — the second batch (later events + the added
+    `quality` column) must be invisible, so the result equals LWW over
+    the early-half events only. The Iceberg snapshot-id / Delta
+    versionAsOf read analog (plans/lake.py read(at_version): commit-log
+    replay stops at the requested version)."""
+    lake = _build_split_lake(spark, sf_dir)
+    v1 = lake.get_commit_by_batch_id("b1").version
+    assert lake.latest_version() > v1  # later commits exist and are skipped
+    assert "quality" not in [
+        f.name for f in lake.read(at_version=v1).schema.fields
+    ]  # pre-evolution schema served as-of v1
+    return lake.read(at_version=v1).select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_LAKE_TIME_TRAVEL = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev WHERE ts < TIMESTAMP '2024-01-16 00:00:00')
+SELECT conv_id, turn_idx, role, text,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_lake_cdf_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed: the change rows committed AFTER batch 1 — a
+    downstream consumer tails THIS table the way the engine tails files
+    (plans/lake.py read_changes; Delta CDF / Iceberg incremental-read
+    analog). In MoR mode this is metadata-only: batch 2's delta files ARE
+    its change batch, so the result is exactly the late-half upserts (raw
+    changes, NOT LWW-resolved) with their op and batch lineage."""
+    lake = _build_split_lake(spark, sf_dir)
+    v1 = lake.get_commit_by_batch_id("b1").version
+    ch = lake.read_changes(from_version=v1)
+    return ch.select(
+        "conv_id", "turn_idx", "role", "text", "quality", "op",
+        F.col("_batch_id").alias("batch_id"),
+        F.date_format("ts", TS_FMT_SPARK).alias("ev_ts"),
+    )
+
+
+SQL_LAKE_CDF_CHANGES = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH})
+SELECT conv_id, turn_idx, role, text,
+       CAST(event_id % 100 AS INTEGER) AS quality,
+       'upsert' AS op, 'b2' AS batch_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS ev_ts
+FROM ev WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+"""
+
+
+_DELETE_LAKE_CACHE: dict[str, str] = {}
+
+
+def q_cdc_deletes_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op='delete' tombstones through MERGE: batch 1 upserts every
+    transcript event (LWW), batch 2 deletes the keys touched by events
+    with event_id % 37 == 0 at a LATER ts — the tombstone must win LWW
+    and remove the key from read() (plans/lake.py tombstoned deletes;
+    ref parity: a CDC stream's delete ops must erase, not linger)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.plans.lake import LakeTable
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    cached = _DELETE_LAKE_CACHE.get(sf_dir)
+    if cached is not None and LakeTable.exists(os.path.join(cached, "t")):
+        lake = LakeTable(spark, os.path.join(cached, "t"))
+    else:
+        base = tempfile.mkdtemp(prefix="kcfs_lake_del_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        lake = LakeTable.create(
+            spark, os.path.join(base, "t"), keys=["conv_id", "turn_idx"],
+            ts_col="ts", n_buckets=8, merge_mode="mor",
+        )
+        ev = _transcript_events(t(spark, sf_dir, "events"))
+        src = ev.select(
+            "conv_id", "turn_idx", "role", "text",
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.lit("").alias("_src_file"),
+            F.col("event_id").alias("_src_offset"),
+            "event_id",
+        )
+        lake.merge(src.drop("event_id"), "b1")
+        deletes = (
+            src.where(F.col("event_id") % 37 == 0)
+            .select("conv_id", "turn_idx")
+            .distinct()
+            .select(
+                F.lit("delete").alias("op"),
+                "conv_id", "turn_idx",
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("text"),
+                # after the whole generated month: the tombstone wins LWW
+                F.lit("2024-03-01 00:00:00").cast("timestamp").alias("ts"),
+                F.lit("").alias("_src_file"),
+                F.lit(0).cast("long").alias("_src_offset"),
+            )
+        )
+        lake.merge(deletes, "b2")
+        _DELETE_LAKE_CACHE[sf_dir] = base
+    return lake.read().select(
+        "conv_id", "turn_idx", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_CDC_DELETES_APPLIED = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev),
+del_keys AS (
+  SELECT DISTINCT conv_id, turn_idx FROM ev WHERE event_id % 37 = 0)
+SELECT r.conv_id, r.turn_idx, r.text,
+       strftime(r.ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked r
+WHERE r.rn = 1
+  AND NOT EXISTS (SELECT 1 FROM del_keys d
+                  WHERE d.conv_id = r.conv_id AND d.turn_idx = r.turn_idx)
+"""
+
+
 def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-add schema evolution through MERGE: batch 2 carries a new
     `quality` column; the evolved table serves old rows with NULL and new
@@ -1345,6 +1478,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "transcript_final_state": q_transcript_final_state,
     "ingest_e2e_final_state": q_ingest_e2e_final_state,
     "lake_read_range": q_lake_read_range,
+    "lake_time_travel": q_lake_time_travel,
+    "lake_cdf_changes": q_lake_cdf_changes,
+    "cdc_deletes_applied": q_cdc_deletes_applied,
     "lake_schema_evolution": q_lake_schema_evolution,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
@@ -1387,6 +1523,9 @@ ORACLES: dict[str, str] = {
     "transcript_final_state": SQL_TRANSCRIPT_FINAL_STATE,
     "ingest_e2e_final_state": SQL_TRANSCRIPT_FINAL_STATE,
     "lake_read_range": SQL_LAKE_READ_RANGE,
+    "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
+    "lake_cdf_changes": SQL_LAKE_CDF_CHANGES,
+    "cdc_deletes_applied": SQL_CDC_DELETES_APPLIED,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,
