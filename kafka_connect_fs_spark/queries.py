@@ -646,6 +646,52 @@ FROM events WHERE event_type = 'purchase'
 """
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — operators/asof.py, an operator Spark
+    lacks natively: for every click, the user's most recent prior-or-
+    same-instant purchase. Union + ordered window (ONE key shuffle, no
+    range self-join); oracle is DuckDB's native ASOF LEFT JOIN. Purchases
+    dedup to one per (user, ts) keeping the max event_id so both engines
+    see a deterministic right side."""
+    from kafka_connect_fs_spark.operators.asof import asof_join
+
+    e = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("purchase_id"),
+            F.max_by("value", "event_id").alias("purchase_value"),
+        )
+    )
+    out = asof_join(clicks, purchases, on=["user_id"], left_ts="ts")
+    return out.select(
+        "user_id",
+        "click_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+        F.col("asof_purchase_id").alias("purchase_id"),
+        F.col("asof_purchase_value").alias("purchase_value"),
+    )
+
+
+SQL_ASOF_CLICK_PURCHASE = f"""
+WITH clicks AS (
+  SELECT user_id, event_id AS click_id, ts
+  FROM events WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts, max(event_id) AS purchase_id,
+         arg_max(value, event_id) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT c.user_id, c.click_id, strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+       p.purchase_id, p.purchase_value
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1492,6 +1538,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_revenue_delta": q_q6_revenue_delta,
     "distinct_users_per_type": q_distinct_users_per_type,
     "set_ops_clicked_never_purchased": q_set_ops_clicked_never_purchased,
+    "asof_click_purchase": q_asof_click_purchase,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1537,6 +1584,7 @@ ORACLES: dict[str, str] = {
     "q6_revenue_delta": SQL_Q6,
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "set_ops_clicked_never_purchased": SQL_SET_OPS,
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
