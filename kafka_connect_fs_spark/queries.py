@@ -692,6 +692,48 @@ FROM clicks c ASOF LEFT JOIN purchases p
 """
 
 
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join — operators/rangejoin.py: clicks landing in
+    the hour before a same-user purchase (attribution). Binned
+    explode + equi-join on (user, hour-bin) + exact refine — the plan
+    stays a hash join (the raw inequality condition would be a
+    BroadcastNestedLoopJoin, O(|L|x|R|) per key). Oracle: the plain
+    inequality join DuckDB evaluates exactly."""
+    from kafka_connect_fs_spark.operators.rangejoin import interval_join
+
+    e = t(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("win_start"),
+        F.col("ts").alias("win_end"),
+    )
+    out = interval_join(
+        clicks, purchases, on=["user_id"],
+        left_point="ts", right_start="win_start", right_end="win_end",
+        bin_seconds=3600,
+    )
+    return out.select(
+        "user_id", "click_id", "purchase_id",
+        F.date_format("ts", TS_FMT_SPARK).alias("click_ts"),
+        F.date_format("win_end", TS_FMT_SPARK).alias("purchase_ts"),
+    )
+
+
+SQL_RANGE_JOIN_ATTRIBUTION = f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       strftime(c.ts, '{TS_FMT_DUCK}') AS click_ts,
+       strftime(p.ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -1539,6 +1581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "distinct_users_per_type": q_distinct_users_per_type,
     "set_ops_clicked_never_purchased": q_set_ops_clicked_never_purchased,
     "asof_click_purchase": q_asof_click_purchase,
+    "range_join_attribution": q_range_join_attribution,
     "dedup_exact": q_dedup_exact,
     "dedup_embedding_lsh": q_dedup_embedding_lsh,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1585,6 +1628,7 @@ ORACLES: dict[str, str] = {
     "distinct_users_per_type": SQL_DISTINCT_USERS,
     "set_ops_clicked_never_purchased": SQL_SET_OPS,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "range_join_attribution": SQL_RANGE_JOIN_ATTRIBUTION,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": SQL_DEDUP_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
