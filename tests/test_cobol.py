@@ -305,6 +305,64 @@ def test_occurs_depending_missing_counter_token():
         parse_copybook("01 R. 05 N PIC 9(2). 05 A OCCURS 3 DEPENDING ON.")
 
 
+def test_odo_property_random_counts_roundtrip():
+    """Property: any sequence of counts in [0, max] frames and decodes
+    back exactly — lengths, counter values, per-occurrence items, and
+    the post-array field all agree with the generator."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_fs_spark.sources.cobol import CobolOptions, _counter_reader, _frame_odo
+    from kafka_connect_fs_spark.sources.copybook import (
+        decode_records_odo,
+        ebcdic_to_ascii_table,
+        find_odo,
+    )
+
+    cpy = (
+        "01 R. 05 CNT PIC 9(2). "
+        "05 ARR OCCURS 0 TO 6 DEPENDING ON CNT PIC 9(2). "
+        "05 TAIL PIC X(3)."
+    )
+    root = parse_copybook(cpy)
+    odo, counter = find_odo(root)
+    leaves = flatten(root)
+    counter_leaf = next(l for l in leaves if l.f is counter)
+    e2a = ebcdic_to_ascii_table()
+    base_size = root.children[0].size
+    lrecl = base_size
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(0, 6), min_size=1, max_size=25))
+    def check(counts):
+        buf = bytearray()
+        expected = []
+        for i, c in enumerate(counts):
+            items = [(i * 7 + j) % 100 for j in range(c)]
+            rec = f"{c:02d}" + "".join(f"{v:02d}" for v in items) + f"T{i % 10:02d}"
+            buf += rec.encode("cp037")
+            expected.append((c, items, f"T{i % 10:02d}"))
+        read = _counter_reader(counter_leaf, True, e2a)
+        recs, offsets = _frame_odo(
+            bytes(buf), lrecl, read, base_size, odo.size, odo.occurs,
+            base=0, emit_from=0,
+        )
+        assert len(offsets) == len(counts)
+        m = np.frombuffer(recs, np.uint8).reshape(len(offsets), lrecl)
+        df = decode_records_odo(m, root)
+        for i, (c, items, tail) in enumerate(expected):
+            assert df["r__cnt"][i] == c
+            assert df["r__tail"][i] == tail
+            for j in range(odo.occurs):
+                got = df[f"r__arr_{j}"][i]
+                if j < c:
+                    assert got == items[j]
+                else:
+                    assert pd.isna(got)
+
+    check()
+
+
 def test_read_cobol_odo_fixed_padded_records(spark, tmp_path):
     """Explicit record_length declares the fixed PADDED convention: the
     array occupies max extent at static offsets; occurrences beyond the

@@ -119,3 +119,93 @@ def test_soak_200_batches_flat_driver_time_and_bounded_files(spark, tmp_path):
     got = changes.collect()
     assert len(got) == 5  # the last ingest batch's events, exactly
     assert {r._batch_id for r in got} == {ingest[-1]["batch_id"]}
+
+
+def test_soak_event_discovery_with_caps_drains_everything(spark, tmp_path):
+    """Soak for the r4 event-discovery machinery: 60 trigger cycles where
+    each cycle announces a burst of NEW files via a queue (never a
+    listing), files_per_trigger caps every batch to 2, and the ack is
+    after-commit. The carryover re-offer + durable-path ack must drain
+    every file with nothing lost, every message acked exactly once, and
+    pending-ack state bounded."""
+    from kafka_connect_fs_spark.sources.discovery import FileMeta
+
+    src = tmp_path / "bucket"
+    os.makedirs(src)
+
+    class Q:
+        def __init__(self):
+            self.msgs = []  # (message_id, receipt_handle, [paths])
+            self.deleted: set = set()
+            self.next_id = 0
+
+        def announce(self, paths):
+            self.msgs.append((f"m{self.next_id}", f"rh{self.next_id}", paths))
+            self.next_id += 1
+
+        def receive(self):
+            return [m for m in self.msgs if m[0] not in self.deleted]
+
+        def delete(self, mid):
+            assert mid not in self.deleted, "double ack"
+            self.deleted.add(mid)
+
+    q = Q()
+    pending: dict[str, tuple[str, frozenset]] = {}
+
+    def discovery():
+        out = []
+        for mid, _rh, paths in q.receive():
+            metas = []
+            for p in paths:
+                if os.path.exists(p):
+                    metas.append(FileMeta(p, os.path.getsize(p), 0.0))
+            pending[mid] = (mid, frozenset(m.path for m in metas))
+            out.extend(metas)
+        return out
+
+    def ack(durable):
+        for mid, (_, paths) in list(pending.items()):
+            if paths <= durable:
+                q.delete(mid)
+                del pending[mid]
+
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[],
+            table_root=str(tmp_path / "table"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA,
+            n_buckets=4,
+            files_per_trigger=2,
+            discovery_fn=discovery,
+            discovery_ack_fn=ack,
+        ),
+    )
+
+    n_files = 0
+    total_events = 0
+    for cycle in range(60):
+        if cycle % 3 == 0:  # burst of 3 new files every third trigger
+            paths = []
+            for j in range(3):
+                p = src / f"f{cycle:03d}_{j}.jsonl"
+                with open(p, "w") as f:
+                    for i in range(4):
+                        f.write(json.dumps(_event(n_files % 30, i, n_files)) + "\n")
+                n_files += 1
+                paths.append(str(p))
+            q.announce(paths)
+        res = engine.run_once()
+        total_events += res.n_events
+        assert res.n_files <= 2  # the cap holds every trigger
+        # pending-ack state stays bounded (burst size / cap backlog only)
+        assert len(pending) <= 8, (cycle, len(pending))
+    # drain the tail: no new announcements, carryover finishes the backlog
+    for _ in range(12):
+        total_events += engine.run_once().n_events
+    assert total_events == n_files * 4  # nothing lost, nothing duplicated
+    assert pending == {} and len(q.deleted) == len(q.msgs)  # all acked once
+    assert engine.lake.read().count() == 120  # 30 convs x 4 turns
