@@ -50,6 +50,14 @@ def asof_join(
     clash = [f"{prefix}{c}" for c in rcols if f"{prefix}{c}" in left.columns]
     if clash:
         raise ValueError(f"asof_join output columns collide with left: {clash}")
+    reserved = {"_asof_ts", "_asof_side", "_asof_payload"}
+    taken = reserved & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"asof_join reserved column names in input: {sorted(taken)}")
+    # DuckDB-oracle null semantics: a null right ts satisfies no
+    # inequality — such rows must never match (they would otherwise sort
+    # first and masquerade as 'earliest state')
+    right = right.where(F.col(right_ts).isNotNull())
 
     # the right row travels as ONE struct: per-column last(ignorenulls)
     # would otherwise stitch fields from DIFFERENT right rows whenever a
@@ -76,9 +84,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     u = u.withColumn(
-        "_asof_payload", F.last("_asof_payload", ignorenulls=True).over(w)
+        "_asof_payload",
+        # a null LEFT ts also satisfies no inequality: no match, whatever
+        # the window ordering put in reach (nulls sort last under the
+        # forward desc order and would otherwise see every right row)
+        F.when(
+            F.col("_asof_ts").isNotNull(),
+            F.last("_asof_payload", ignorenulls=True).over(w),
+        ),
     )
     out = u.where(F.col("_asof_side") == 1)
-    for c in rcols:
-        out = out.withColumn(f"{prefix}{c}", F.col(f"_asof_payload.{c}"))
-    return out.drop("_asof_ts", "_asof_side", "_asof_payload")
+    # one projection, not a withColumn per right column
+    return out.select(
+        "*",
+        *[F.col(f"_asof_payload.{c}").alias(f"{prefix}{c}") for c in rcols],
+    ).drop("_asof_ts", "_asof_side", "_asof_payload")

@@ -38,6 +38,14 @@ def interval_join(
     arithmetic)."""
     if bin_seconds <= 0:
         raise ValueError("bin_seconds must be positive")
+    shared = (set(left.columns) & set(right.columns)) - set(on)
+    if shared:
+        raise ValueError(
+            "interval_join non-key columns exist on both sides "
+            f"(rename one): {sorted(shared)}"
+        )
+    if "_bin" in left.columns or "_bin" in right.columns:
+        raise ValueError("interval_join reserved column name '_bin' in input")
     lbin = (F.unix_timestamp(F.col(left_point)) / bin_seconds).cast("long")
     rs = F.unix_timestamp(F.col(right_start))
     re_ = F.unix_timestamp(F.col(right_end))

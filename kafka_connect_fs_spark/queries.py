@@ -211,13 +211,24 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LAKE_CACHE: dict[str, str] = {}  # sf_dir -> built lake root (process-lifetime)
 
 
-def _build_split_lake(spark: SparkSession, sf_dir: str):
-    """Two-batch MoR lake from transcript events, split at Jan 16 (mid-span
-    of the generated month): batch 1 = earlier half, batch 2 = later half
-    carrying an extra `quality` column (schema evolution). ``_src_offset``
-    carries event_id so the lake's LWW tie-break equals the oracle's
-    ORDER BY ts DESC, event_id DESC. Built once per process per sf_dir —
-    both lake queries (temporal pruning + evolution) share it."""
+def _transcript_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript events projected to the lake's merge shape.
+    ``_src_offset`` carries event_id so the lake's LWW tie-break equals
+    the oracles' ORDER BY ts DESC, event_id DESC; `event_id` rides along
+    for batch splitting and is dropped before merge."""
+    ev = _transcript_events(t(spark, sf_dir, "events"))
+    return ev.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.lit("").alias("_src_file"),
+        F.col("event_id").alias("_src_offset"),
+        "event_id",
+    )
+
+
+def _cached_lake(spark: SparkSession, sf_dir: str, cache: dict, prefix: str, build):
+    """Process-lifetime cached MoR lake: build once per sf_dir via
+    ``build(lake, src)``, reopen from the cached tmpdir afterwards."""
     import atexit
     import shutil
     import tempfile
@@ -227,32 +238,37 @@ def _build_split_lake(spark: SparkSession, sf_dir: str):
     # defend against a caller session configured with legacy INT96 parquet
     # timestamps (no footer stats → file pruning degrades); runtime-settable
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    cached = _LAKE_CACHE.get(sf_dir)
+    cached = cache.get(sf_dir)
     if cached is not None and LakeTable.exists(os.path.join(cached, "t")):
         return LakeTable(spark, os.path.join(cached, "t"))
-    base = tempfile.mkdtemp(prefix="kcfs_lake_q_")
+    base = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     lake = LakeTable.create(
         spark, os.path.join(base, "t"), keys=["conv_id", "turn_idx"],
         ts_col="ts", n_buckets=8, merge_mode="mor",
     )
-    ev = _transcript_events(t(spark, sf_dir, "events"))
-    src = ev.select(
-        "conv_id", "turn_idx", "role", "text",
-        F.col("ts").cast("timestamp").alias("ts"),
-        F.lit("").alias("_src_file"),
-        F.col("event_id").alias("_src_offset"),
-        "event_id",
-    )
-    cut = LAKE_CUT_TS
-    early = src.where(F.col("ts") < cut).drop("event_id")
-    late = src.where(F.col("ts") >= cut).withColumn(
-        "quality", (F.col("event_id") % 100).cast("int")
-    )
-    lake.merge(early, "b1")
-    lake.merge(late.drop("event_id"), "b2")
-    _LAKE_CACHE[sf_dir] = base
+    build(lake, _transcript_src(spark, sf_dir))
+    cache[sf_dir] = base
     return lake
+
+
+def _build_split_lake(spark: SparkSession, sf_dir: str):
+    """Two-batch MoR lake from transcript events, split at Jan 16 (mid-span
+    of the generated month): batch 1 = earlier half, batch 2 = later half
+    carrying an extra `quality` column (schema evolution). Built once per
+    process per sf_dir — the lake queries (temporal pruning, evolution,
+    time travel, CDF) share it."""
+
+    def build(lake, src):
+        cut = LAKE_CUT_TS
+        early = src.where(F.col("ts") < cut).drop("event_id")
+        late = src.where(F.col("ts") >= cut).withColumn(
+            "quality", (F.col("event_id") % 100).cast("int")
+        )
+        lake.merge(early, "b1")
+        lake.merge(late.drop("event_id"), "b2")
+
+    return _cached_lake(spark, sf_dir, _LAKE_CACHE, "kcfs_lake_q_", build)
 
 
 LAKE_CUT_TS = __import__("datetime").datetime(2024, 1, 16)
@@ -353,31 +369,7 @@ def q_cdc_deletes_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     with event_id % 37 == 0 at a LATER ts — the tombstone must win LWW
     and remove the key from read() (plans/lake.py tombstoned deletes;
     ref parity: a CDC stream's delete ops must erase, not linger)."""
-    import atexit
-    import shutil
-    import tempfile
-
-    from kafka_connect_fs_spark.plans.lake import LakeTable
-
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    cached = _DELETE_LAKE_CACHE.get(sf_dir)
-    if cached is not None and LakeTable.exists(os.path.join(cached, "t")):
-        lake = LakeTable(spark, os.path.join(cached, "t"))
-    else:
-        base = tempfile.mkdtemp(prefix="kcfs_lake_del_")
-        atexit.register(shutil.rmtree, base, ignore_errors=True)
-        lake = LakeTable.create(
-            spark, os.path.join(base, "t"), keys=["conv_id", "turn_idx"],
-            ts_col="ts", n_buckets=8, merge_mode="mor",
-        )
-        ev = _transcript_events(t(spark, sf_dir, "events"))
-        src = ev.select(
-            "conv_id", "turn_idx", "role", "text",
-            F.col("ts").cast("timestamp").alias("ts"),
-            F.lit("").alias("_src_file"),
-            F.col("event_id").alias("_src_offset"),
-            "event_id",
-        )
+    def build(lake, src):
         lake.merge(src.drop("event_id"), "b1")
         deletes = (
             src.where(F.col("event_id") % 37 == 0)
@@ -395,7 +387,8 @@ def q_cdc_deletes_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         lake.merge(deletes, "b2")
-        _DELETE_LAKE_CACHE[sf_dir] = base
+
+    lake = _cached_lake(spark, sf_dir, _DELETE_LAKE_CACHE, "kcfs_lake_del_", build)
     return lake.read().select(
         "conv_id", "turn_idx", "text",
         F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),

@@ -60,6 +60,35 @@ def test_no_chimera_rows_across_partial_nulls(spark):
     assert r.asof_a == 2 and r.asof_b is None  # not ('old' from ts(1))
 
 
+def test_null_timestamps_match_nothing(spark):
+    """DuckDB-oracle null semantics: a null ts satisfies no inequality —
+    null-ts RIGHT rows never attach (they'd otherwise sort first and
+    masquerade as earliest state), and null-ts LEFT rows get null (under
+    forward's desc order they'd otherwise see every right row)."""
+    left = spark.createDataFrame(
+        [("k", ts(5), "e1"), ("k", None, "enull")],
+        "k string, ts timestamp, ev string",
+    )
+    right = spark.createDataFrame(
+        [("k", None, 666), ("k", ts(3), 1), ("k", ts(9), 2)],
+        "k string, ts timestamp, v int",
+    )
+    for direction, expect in (("backward", 1), ("forward", 2)):
+        out = {
+            r.ev: r.asof_v
+            for r in asof_join(left, right, on=["k"], direction=direction).collect()
+        }
+        assert out["enull"] is None, direction
+        assert out["e1"] == expect, direction  # never 666
+
+
+def test_reserved_internal_names_rejected(spark):
+    left = spark.createDataFrame([("k", ts(1), 5)], "k string, ts timestamp, _asof_side int")
+    right = spark.createDataFrame([("k", ts(1), 6)], "k string, ts timestamp, v int")
+    with pytest.raises(ValueError, match="reserved"):
+        asof_join(left, right, on=["k"])
+
+
 def test_collision_and_direction_validation(spark):
     left = spark.createDataFrame([("k", ts(1), 5)], "k string, ts timestamp, asof_v int")
     right = spark.createDataFrame([("k", ts(1), 6)], "k string, ts timestamp, v int")

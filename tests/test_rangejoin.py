@@ -72,3 +72,14 @@ def test_bad_bin_raises(spark):
     l, r = make(spark, [5], [(0, 10)])
     with pytest.raises(ValueError, match="positive"):
         interval_join(l, r, ["k"], "ts", "s", "e", bin_seconds=0)
+
+
+def test_shared_column_names_rejected(spark):
+    """Both sides carrying a same-named non-key column would be an
+    ambiguous reference after the join — fail fast instead."""
+    l = spark.createDataFrame([("k", ts(5), "x")], "k string, ts timestamp, note string")
+    r = spark.createDataFrame(
+        [("k", ts(0), ts(10), "y")], "k string, s timestamp, e timestamp, note string"
+    )
+    with pytest.raises(ValueError, match="both sides"):
+        interval_join(l, r, ["k"], "ts", "s", "e", bin_seconds=60)
