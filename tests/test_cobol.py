@@ -845,6 +845,63 @@ def test_engine_cobol_append_resumes_at_record_boundary(spark, tmp_path):
     assert state == {(r[0], r[1]) for r in ROWS[:41]}
 
 
+def test_engine_odo_append_emits_only_new_records(spark, tmp_path):
+    """Engine tailing a growing VARIABLE-LENGTH (ODO) file: the second
+    trigger emits only the appended records (emit_from from the
+    committed watermark), a torn appended record is held back, and the
+    lake's final state covers exactly the complete records."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    cpy = (
+        "01 R. 05 CONV_ID PIC X(8). 05 TURN_IDX PIC 9(2). 05 TS PIC 9(10). "
+        "05 CNT PIC 9(2). 05 ITEMS OCCURS 0 TO 5 DEPENDING ON CNT PIC 9(3)."
+    )
+
+    def rec(conv, turn, ts_val, items):
+        return (
+            f"{conv:<8s}{turn:02d}{ts_val:010d}{len(items):02d}"
+            + "".join(f"{v:03d}" for v in items)
+        ).encode("cp037")
+
+    p = str(src / "var.dt")
+    batch1 = [rec(f"c{i}", i % 4, 1700000000 + i, [i * 10 + j for j in range(i % 6)]) for i in range(10)]
+    with open(p, "wb") as f:
+        f.write(b"".join(batch1))
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[str(src)],
+            table_root=str(tmp_path / "table"),
+            checkpoint_root=str(tmp_path / "ckpt"),
+            fmt="agnostic",
+            reader_options={"copybook_content": cpy, "schema_policy": "collapse_root"},
+            keys=("CONV_ID", "TURN_IDX"),
+            ts_col="TS",
+            n_buckets=2,
+        ),
+    )
+    engine.run_once()
+    assert engine.lake.read().count() == 10
+    # append 3 complete records + a torn 4th (cut inside its items)
+    extra = [rec(f"x{i}", i, 1700001000 + i, [7, 8, 9][: i + 1]) for i in range(3)]
+    torn = rec("torn", 9, 1700002000, [1, 2, 3, 4])
+    with open(p, "ab") as f:
+        f.write(b"".join(extra) + torn[: len(torn) - 4])
+    r2 = engine.run_once()
+    assert r2.n_events == 3  # only the complete appended records
+    state = {r.CONV_ID.strip(): r.ITEMS for r in engine.lake.read().collect()}
+    assert state["x0"] == [7] and state["x2"] == [7, 8, 9]
+    assert "torn" not in state
+    # complete the torn record: exactly it arrives next trigger
+    with open(p, "ab") as f:
+        f.write(torn[len(torn) - 4 :])
+    r3 = engine.run_once()
+    assert r3.n_events == 1
+    assert {r.CONV_ID.strip() for r in engine.lake.read().collect()} >= {"torn"}
+
+
 def test_rdw_append_emits_only_new_records(spark, tmp_path):
     """RDW resume: framing restarts at byte 0 (sequential format) but
     only records extending past the committed offset are emitted — an
