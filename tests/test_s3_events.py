@@ -287,6 +287,102 @@ def test_redelivered_message_rekeys_by_message_id():
     assert q.deleted == ["rh0-gen2"]  # fresh handle, exactly once
 
 
+def test_records_cap_drain_without_new_events(spark, tmp_path):
+    """A file announced ONCE via an event must drain across triggers
+    under records_per_file_per_trigger: the engine re-offers its non-eof
+    watermark row itself (no new event ever arrives), and acks the
+    message only when the drain completes."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import (
+        CHANGE_EVENT_SCHEMA,
+        transcript_change_events,
+        write_jsonl,
+    )
+
+    bucket_dir = tmp_path / "bucket"
+    os.makedirs(bucket_dir)
+    rows = transcript_change_events(3, 4)  # 12 events in one file
+    write_jsonl(rows, str(bucket_dir / "a.jsonl"))
+    bucket = str(bucket_dir)
+    q = FakeQueue([s3_event_body(bucket, "a.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, f"file://{bucket}", event_regex="ObjectCreated:.*",
+        ack_mode="after_commit",
+    )
+    # drain the queue into the policy ONCE, then cut it off so redelivery
+    # cannot be the re-offer mechanism
+    first_listing = pol.poll()
+    assert len(first_listing) == 1
+    fed = [False]
+
+    def discovery():
+        if not fed[0]:
+            fed[0] = True
+            return first_listing
+        return []
+
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA, n_buckets=4,
+            discovery_fn=discovery, discovery_ack_fn=pol.ack_pending,
+            records_per_file_per_trigger=5,
+        ),
+    )
+    got = [engine.run_once().n_events for _ in range(4)]
+    assert got == [5, 5, 2, 0]  # drained via wm re-offer, then idle
+    assert engine.lake.read().count() == len({(r["conv_id"], r["turn_idx"]) for r in rows})
+    assert sorted(q.deleted) == ["rh0"]  # acked once the file went eof
+
+
+def test_vanished_nonfinished_file_purged_and_acked(spark, tmp_path):
+    """A file that vanishes after partial ingest (non-eof watermark) must
+    not re-offer forever: the engine stats re-offer candidates, purges
+    the stale watermark row, and treats the path as durable for acking."""
+    from kafka_connect_fs_spark.streaming.engine import IngestConfig, IngestEngine
+    from kafka_connect_fs_spark.testing.generator import CHANGE_EVENT_SCHEMA
+
+    bucket_dir = tmp_path / "bucket"
+    os.makedirs(bucket_dir)
+    p = bucket_dir / "a.jsonl"
+    # torn final line (no trailing newline) → eof stays False
+    p.write_text(
+        '{"op":"upsert","conv_id":"c1","turn_idx":0,"role":"user","text":"hi",'
+        '"tool":null,"ts":"2024-01-01T00:00:00"}\n{"op":"upsert","conv_id":"c1"'
+    )
+    bucket = str(bucket_dir)
+    q = FakeQueue([s3_event_body(bucket, "a.jsonl")])
+    pol = S3EventNotificationsPolicy(
+        q, f"file://{bucket}", event_regex="ObjectCreated:.*",
+        ack_mode="after_commit",
+    )
+    engine = IngestEngine(
+        spark,
+        IngestConfig(
+            uris=[], table_root=str(tmp_path / "t"),
+            checkpoint_root=str(tmp_path / "c"), fmt="jsonl",
+            schema=CHANGE_EVENT_SCHEMA, n_buckets=4,
+            discovery_fn=pol, discovery_ack_fn=pol.ack_pending,
+            emit_unterminated_final_line=False,
+        ),
+    )
+    r1 = engine.run_once()
+    assert r1.n_events == 1  # complete first line only; torn tail held
+    uri = f"file://{p}"  # the policy emits scheme-qualified URIs
+    wm = engine.watermarks.load_dict()
+    assert not wm[uri]["eof"]
+    # the file vanishes before the held-back tail ever completes
+    os.remove(p)
+    engine.run_once()
+    assert uri not in engine.watermarks.load_dict()  # purged
+    assert sorted(q.deleted) == ["rh0"]  # nothing owed: acked
+    # subsequent triggers stay clean (no resurrection loop)
+    r3 = engine.run_once()
+    assert r3.n_files == 0
+
+
 def test_stat_uri_bare_path(tmp_path):
     """ADVICE r4 low: a bare (non-URI) path must stat via the local fs,
     not raise IndexError on the '://' split."""
