@@ -346,11 +346,14 @@ def main() -> None:
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":
         result["scaling"] = _scaling(sf_dir)
-        # the north rule's N→4N criterion on a MULTI-JVM topology:
-        # local-cluster[1,8] vs local-cluster[4,8] — separate executor
-        # heaps/GC and real shuffle transport, the closest in-sandbox
-        # stand-in for 1 vs 4 executors (tools/scaling_evidence.py has
-        # the full matrix + REST-profile bottleneck breakdown)
+
+    # the north rule's N→4N criterion on a MULTI-JVM topology:
+    # local-cluster[1,8] vs local-cluster[4,8] — separate executor
+    # heaps/GC and real shuffle transport, the closest in-sandbox
+    # stand-in for 1 vs 4 executors. Own flag (adds ~5 min): the r04
+    # measured matrix + REST-profile bottleneck breakdown is archived in
+    # bench_artifacts/r04_*.json and analyzed in BENCH.md.
+    if os.environ.get("SPARK_GRAFT_SCALING_MULTIJVM") == "1":
         try:
             from tools.scaling_evidence import throughput_matrix
 
