@@ -967,14 +967,24 @@ class LakeTable:
         return schema
 
     # ----------------------------------------------------------- maintenance
-    def compact(self, min_files_per_bucket: int = 2) -> Commit | None:
+    def compact(
+        self, min_files_per_bucket: int = 2, max_buckets: int | None = None
+    ) -> Commit | None:
         """Rewrite buckets fragmented across ≥ min_files_per_bucket files
         into one file each — the lakehouse small-files compaction (Iceberg's
         rewrite_data_files). Logical content unchanged; commit is
         batch_id=None (maintenance). In MoR mode this is also the delta
         fold-down: the rewrite LWW-resolves, leaving one row per key (the
         winning tombstones included — they must keep absorbing older
-        replays until expire_tombstones)."""
+        replays until expire_tombstones).
+
+        ``max_buckets`` bounds one call to the N MOST fragmented buckets —
+        incremental compaction: a steady-state ingest loop spreads the
+        fold-down across triggers in bounded slices instead of stalling a
+        whole trigger rewriting every bucket (measured: an all-bucket
+        inline fold after 4 x 6M-event batches cost a 14-20 s pause
+        against 3.6 s steady batches). Remaining buckets stay fragmented
+        until a later call — read-side LWW is unaffected."""
         # one snapshot drives files AND version (see _merge_persisted)
         st = self._state_full()
         by_bucket: dict[int, list[str]] = {}
@@ -983,6 +993,9 @@ class LakeTable:
         targets = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files_per_bucket}
         if not targets:
             return None
+        if max_buckets is not None and len(targets) > max_buckets:
+            worst = sorted(targets, key=lambda b: len(targets[b]), reverse=True)
+            targets = {b: targets[b] for b in worst[:max_buckets]}
         old_files = [p for ps in targets.values() for p in ps]
         df = self._resolve(self._read_files(old_files))
         version = st.version + 1
@@ -1001,20 +1014,38 @@ class LakeTable:
             .parquet(cdir)
         )
         added = self._scan_written(cdir, cdir_rel)
-        commit = Commit(
-            version=version,
-            batch_id=None,
-            added=added,
-            removed=old_files,
-            schema_json=None,
-            metrics={
-                "compaction": True,
-                "files_removed": len(old_files),
-                "files_added": len(added),
-            },
+        for _attempt in range(4):
+            commit = Commit(
+                version=version,
+                batch_id=None,
+                added=added,
+                removed=old_files,
+                schema_json=None,
+                metrics={
+                    "compaction": True,
+                    "files_removed": len(old_files),
+                    "files_added": len(added),
+                },
+            )
+            try:
+                self._write_commit(commit)
+                return commit
+            except ConcurrentCommitError:
+                # an ingest batch won the version race — the normal case
+                # for a SEPARATE maintenance process compacting alongside
+                # a live ingest loop. The rewrite's parquet output is
+                # version-independent; re-read the head, verify the
+                # rewritten inputs are all still live (a concurrent
+                # compaction/vacuum could have replaced them — then this
+                # rewrite is stale: abandon it, vacuum collects the
+                # orphan files), and re-attempt at the new head version.
+                st = self._state_full()
+                if not set(old_files) <= set(st.live):
+                    return None
+                version = st.version + 1
+        raise ConcurrentCommitError(
+            "compaction lost the commit race 4 times in a row"
         )
-        self._write_commit(commit)
-        return commit
 
     def expire_tombstones(self, older_than) -> Commit | None:
         """Drop op='delete' tombstones with ts < older_than (safe once no

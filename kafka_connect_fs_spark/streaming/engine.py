@@ -139,6 +139,10 @@ class IngestConfig:
     # instead on a real deployment)
     compact_every: int = 0
     compact_min_files_per_bucket: int = 4
+    # 0 = fold every fragmented bucket in one maintenance pause; N > 0 =
+    # incremental compaction, at most the N most fragmented buckets per
+    # compaction trigger (bounded pause for steady-state ingest loops)
+    compact_max_buckets_per_trigger: int = 0
 
 
 @dataclass
@@ -810,7 +814,10 @@ class IngestEngine:
             self._vanished = set()
 
         if cfg.compact_every and seq > 0 and seq % cfg.compact_every == 0:
-            self.lake.compact(min_files_per_bucket=cfg.compact_min_files_per_bucket)
+            self.lake.compact(
+                min_files_per_bucket=cfg.compact_min_files_per_bucket,
+                max_buckets=cfg.compact_max_buckets_per_trigger or None,
+            )
             self.lake.vacuum()
 
         res = BatchResult(

@@ -299,6 +299,72 @@ def test_mor_compact_resolves_deltas(spark, mor_table):
     assert snap.groupBy("conv_id", "turn_idx").count().where("count > 1").count() == 0
 
 
+def test_incremental_compaction_bounded_and_converges(spark, mor_table):
+    """max_buckets bounds one compaction call to the N MOST fragmented
+    buckets (bounded maintenance pause); repeated calls converge to the
+    fully-folded state with logical content unchanged throughout."""
+    t = mor_table
+    # fragment several buckets unevenly: conv c0..c5 across buckets
+    for i in range(6):
+        t.merge(
+            edf(spark, [ev(f"c{j}", 0, f"v{i}", i) for j in range(6 - i)]),
+            f"b{i}",
+        )
+    before = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    live, _, _ = t._state()
+    frag_before = len(live)
+
+    c1 = t.compact(min_files_per_bucket=2, max_buckets=1)
+    assert c1 is not None
+    # exactly one bucket rewritten — the most fragmented one
+    assert len({a["bucket"] for a in c1.added}) == 1
+    rewritten = max(
+        (len([p for p in live if live[p]["bucket"] == b]), b)
+        for b in {a["bucket"] for a in live.values()}
+    )[1]
+    assert {a["bucket"] for a in c1.added} == {rewritten}
+    live2, _, _ = t._state()
+    assert len(live2) < frag_before
+    assert {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()} == before
+
+    # keep calling with the bound: converges to no-op, content stable
+    for _ in range(10):
+        if t.compact(min_files_per_bucket=2, max_buckets=1) is None:
+            break
+    assert t.compact(min_files_per_bucket=2, max_buckets=1) is None
+    assert {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()} == before
+
+
+def test_compaction_retries_after_losing_commit_race(spark, mor_table):
+    """A separate maintenance process compacting alongside a live ingest
+    loop loses the version race to an ingest commit: compact must re-read
+    the head and re-attempt (its parquet output is version-independent),
+    not raise — and the concurrent batch's rows must survive."""
+    t = mor_table
+    for i in range(3):
+        t.merge(edf(spark, [ev("c1", 0, f"v{i}", i)]), f"b{i}")
+
+    orig = t._write_commit
+    raced = {"done": False}
+
+    def race_once(commit):
+        if commit.batch_id is None and not raced["done"]:
+            raced["done"] = True
+            # an ingest commit lands first, stealing this version
+            t2 = type(t)(spark, t.root)
+            t2.merge(edf(spark, [ev("c9", 9, "concurrent", 99)]), "race")
+        return orig(commit)
+
+    t._write_commit = race_once
+    try:
+        c = t.compact(min_files_per_bucket=1)
+    finally:
+        t._write_commit = orig
+    assert c is not None and raced["done"]
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got[("c1", 0)] == "v2" and got[("c9", 9)] == "concurrent"
+
+
 def test_mor_expire_tombstones_does_not_resurrect(spark, mor_table):
     t = mor_table
     t.merge(edf(spark, [ev("c1", 0, "body", 1)]), "b1")
