@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
     c = sub.add_parser("compact")
     c.add_argument("--min-files-per-bucket", type=int, default=4)
+    c.add_argument("--max-buckets", type=int, default=None,
+                   help="bound one run to the N most fragmented buckets "
+                        "(incremental compaction; default: all)")
     e = sub.add_parser("expire")
     e.add_argument("--older-than", required=True,
                    help="timestamp 'YYYY-MM-DD HH:MM:SS'; tombstones with "
@@ -48,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
     table = LakeTable(spark, args.table)
     out: dict = {"table": args.table, "cmd": args.cmd}
     if args.cmd == "compact":
-        commit = table.compact(min_files_per_bucket=args.min_files_per_bucket)
+        # safe beside a live ingest loop: compact() retries through
+        # ConcurrentCommitError at the new head version
+        commit = table.compact(
+            min_files_per_bucket=args.min_files_per_bucket,
+            max_buckets=args.max_buckets,
+        )
         out["commit"] = commit.metrics if commit else None
     elif args.cmd == "expire":
         when = dt.datetime.strptime(args.older_than, "%Y-%m-%d %H:%M:%S")
