@@ -1014,6 +1014,32 @@ class LakeTable:
             .parquet(cdir)
         )
         added = self._scan_written(cdir, cdir_rel)
+        return self._commit_maintenance(
+            version, added, old_files,
+            metrics={
+                "compaction": True,
+                "files_removed": len(old_files),
+                "files_added": len(added),
+            },
+        )
+
+    def _commit_maintenance(
+        self, version: int, added: list, old_files: list[str], metrics: dict
+    ) -> Commit | None:
+        """Commit a maintenance rewrite, retrying through commit races —
+        the normal case for a SEPARATE maintenance process running beside
+        a live ingest loop. The rewrite's parquet output is version-
+        independent; on ConcurrentCommitError re-read the head, verify
+        the rewritten inputs are all still live (a concurrent rewrite
+        replacing them makes this one stale: abandon it, vacuum collects
+        the orphan files), and re-attempt at the new head version.
+
+        Safety under concurrency: an ingest commit only ADDS delta files,
+        so replacing old_files with their resolved rewrite stays correct
+        — LWW resolution is associative, and readers resolve across the
+        rewrite plus any concurrent deltas. (Tombstone expiry leans on
+        its horizon contract: concurrent batches carry events newer than
+        the expiry horizon by definition.)"""
         for _attempt in range(4):
             commit = Commit(
                 version=version,
@@ -1021,30 +1047,18 @@ class LakeTable:
                 added=added,
                 removed=old_files,
                 schema_json=None,
-                metrics={
-                    "compaction": True,
-                    "files_removed": len(old_files),
-                    "files_added": len(added),
-                },
+                metrics=metrics,
             )
             try:
                 self._write_commit(commit)
                 return commit
             except ConcurrentCommitError:
-                # an ingest batch won the version race — the normal case
-                # for a SEPARATE maintenance process compacting alongside
-                # a live ingest loop. The rewrite's parquet output is
-                # version-independent; re-read the head, verify the
-                # rewritten inputs are all still live (a concurrent
-                # compaction/vacuum could have replaced them — then this
-                # rewrite is stale: abandon it, vacuum collects the
-                # orphan files), and re-attempt at the new head version.
                 st = self._state_full()
                 if not set(old_files) <= set(st.live):
                     return None
                 version = st.version + 1
         raise ConcurrentCommitError(
-            "compaction lost the commit race 4 times in a row"
+            "maintenance commit lost the race 4 times in a row"
         )
 
     def expire_tombstones(self, older_than) -> Commit | None:
@@ -1082,16 +1096,10 @@ class LakeTable:
             .parquet(cdir)
         )
         added = self._scan_written(cdir, cdir_rel)
-        commit = Commit(
-            version=version,
-            batch_id=None,
-            added=added,
-            removed=old_files,
-            schema_json=None,
+        return self._commit_maintenance(
+            version, added, old_files,
             metrics={"tombstones_expired": True, "buckets": len(buckets)},
         )
-        self._write_commit(commit)
-        return commit
 
     # ---------------------------------------------------------------- utils
     def history(self) -> list[dict]:
