@@ -412,6 +412,39 @@ WHERE r.rn = 1
 """
 
 
+def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-pruned point lookup: read_key opens ONLY the files of the
+    bucket the key hashes to (driver-side xxhash64 twin, no Spark job) —
+    O(table/n_buckets) I/O. The query asserts pruning actually happened
+    and returns the LWW-resolved turns of one conversation; the oracle
+    recomputes that conversation from the raw events."""
+    lake = _build_split_lake(spark, sf_dir)
+    # deterministic existing key: lowest conv_id in the events table
+    ev = _transcript_events(t(spark, sf_dir, "events"))
+    key = ev.agg(F.min("conv_id")).collect()[0][0]
+    live, _, _ = lake._state()
+    df = lake.read_key(key)
+    opened = df.inputFiles()
+    assert 0 < len(opened) < len(live), (len(opened), len(live))  # pruned
+    return df.where(F.col("conv_id") == key).select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_LAKE_POINT_LOOKUP = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id, turn_idx, role, text,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked
+WHERE rn = 1 AND conv_id = (SELECT min(conv_id) FROM ev)
+"""
+
+
 def q_lake_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-add schema evolution through MERGE: batch 2 carries a new
     `quality` column; the evolved table serves old rows with NULL and new
@@ -1560,6 +1593,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ingest_e2e_final_state": q_ingest_e2e_final_state,
     "lake_read_range": q_lake_read_range,
     "lake_time_travel": q_lake_time_travel,
+    "lake_point_lookup": q_lake_point_lookup,
     "lake_cdf_changes": q_lake_cdf_changes,
     "cdc_deletes_applied": q_cdc_deletes_applied,
     "lake_schema_evolution": q_lake_schema_evolution,
@@ -1607,6 +1641,7 @@ ORACLES: dict[str, str] = {
     "ingest_e2e_final_state": SQL_TRANSCRIPT_FINAL_STATE,
     "lake_read_range": SQL_LAKE_READ_RANGE,
     "lake_time_travel": SQL_LAKE_TIME_TRAVEL,
+    "lake_point_lookup": SQL_LAKE_POINT_LOOKUP,
     "lake_cdf_changes": SQL_LAKE_CDF_CHANGES,
     "cdc_deletes_applied": SQL_CDC_DELETES_APPLIED,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
