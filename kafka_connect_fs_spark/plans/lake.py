@@ -993,9 +993,17 @@ class LakeTable:
         targets = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files_per_bucket}
         if not targets:
             return None
-        if max_buckets is not None and len(targets) > max_buckets:
-            worst = sorted(targets, key=lambda b: len(targets[b]), reverse=True)
-            targets = {b: targets[b] for b in worst[:max_buckets]}
+        if max_buckets is not None:
+            if max_buckets <= 0:
+                # 0/negative would silently slice the wrong buckets (the
+                # engine's 0-sentinel is translated to None BEFORE this
+                # call); fail loudly instead
+                raise ValueError(
+                    f"max_buckets must be positive or None, got {max_buckets}"
+                )
+            if len(targets) > max_buckets:
+                worst = sorted(targets, key=lambda b: len(targets[b]), reverse=True)
+                targets = {b: targets[b] for b in worst[:max_buckets]}
         old_files = [p for ps in targets.values() for p in ps]
         df = self._resolve(self._read_files(old_files))
         version = st.version + 1

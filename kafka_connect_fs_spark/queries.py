@@ -426,7 +426,8 @@ def q_lake_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = lake.read_key(key)
     opened = df.inputFiles()
     assert 0 < len(opened) < len(live), (len(opened), len(live))  # pruned
-    return df.where(F.col("conv_id") == key).select(
+    # read_key already filters to exactly this key (lake.py read_key)
+    return df.select(
         "conv_id", "turn_idx", "role", "text",
         F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
     )

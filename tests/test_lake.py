@@ -333,6 +333,14 @@ def test_incremental_compaction_bounded_and_converges(spark, mor_table):
             break
     assert t.compact(min_files_per_bucket=2, max_buckets=1) is None
     assert {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()} == before
+    # 0/negative are caller errors (the engine's 0-sentinel is translated
+    # to None before the call), not silent wrong-slice compactions
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_buckets"):
+        t.compact(min_files_per_bucket=1, max_buckets=0)
+    with _pytest.raises(ValueError, match="max_buckets"):
+        t.compact(min_files_per_bucket=1, max_buckets=-1)
 
 
 def test_compaction_retries_after_losing_commit_race(spark, mor_table):
