@@ -426,43 +426,91 @@ def resolve_fields(
             defaults[rname] = _default_value(f)
             plan.append((rname, None))
             continue
-        wt = _primitive_name(writer_fields[src]["type"])
-        rt = _primitive_name(f["type"])
-        if wt is not None and rt is not None:
-            if rt not in _PROMOTIONS[wt]:
-                raise ValueError(
-                    f"cannot resolve writer type {wt!r} as reader type "
-                    f"{rt!r} for field {rname!r} (Avro schema-resolution "
-                    "error)"
-                )
-            if wt == "bytes" and rt == "string":
-                converters[rname] = (
-                    lambda v: v.decode("utf-8", "replace")
-                    if isinstance(v, (bytes, bytearray))
-                    else v
-                )
-            elif wt == "string" and rt == "bytes":
-                converters[rname] = (
-                    lambda v: v.encode("utf-8") if isinstance(v, str) else v
-                )
+        conv = _value_resolver(writer_fields[src]["type"], f["type"], rname)
+        if conv is not None:
+            converters[rname] = conv
         plan.append((rname, src))
     return plan, defaults, converters
 
 
+def _is_record(t) -> bool:
+    return isinstance(t, dict) and t.get("type") == "record"
+
+
+def _value_resolver(wt, rt, path: str):
+    """Converter for one writer→reader type pair, or None when values
+    pass through unchanged. Validates primitive promotions, and RECURSES
+    through nested records / arrays / maps so sub-record fields resolve
+    with the same name/alias/default/promotion rules as top-level ones
+    (the spec's resolution is structural all the way down). Unions and
+    named-type references pass through — their members resolve
+    structurally downstream."""
+    wp, rp = _primitive_name(wt), _primitive_name(rt)
+    if wp is not None and rp is not None:
+        if rp not in _PROMOTIONS[wp]:
+            raise ValueError(
+                f"cannot resolve writer type {wp!r} as reader type "
+                f"{rp!r} for field {path!r} (Avro schema-resolution error)"
+            )
+        if wp == "bytes" and rp == "string":
+            return (
+                lambda v: v.decode("utf-8", "replace")
+                if isinstance(v, (bytes, bytearray))
+                else v
+            )
+        if wp == "string" and rp == "bytes":
+            return lambda v: v.encode("utf-8") if isinstance(v, str) else v
+        return None
+    if _is_record(wt) and _is_record(rt):
+        sub = resolve_fields(wt, rt)  # validates the subtree eagerly
+
+        def conv_record(v, _sub=sub):
+            return _apply_plan(v, *_sub) if isinstance(v, dict) else v
+
+        return conv_record
+    if (
+        isinstance(wt, dict) and wt.get("type") == "array"
+        and isinstance(rt, dict) and rt.get("type") == "array"
+    ):
+        inner = _value_resolver(wt["items"], rt["items"], f"{path}[]")
+        if inner is not None:
+            return (
+                lambda v: [inner(x) if x is not None else None for x in v]
+                if isinstance(v, list)
+                else v
+            )
+        return None
+    if (
+        isinstance(wt, dict) and wt.get("type") == "map"
+        and isinstance(rt, dict) and rt.get("type") == "map"
+    ):
+        inner = _value_resolver(wt["values"], rt["values"], f"{path}{{}}")
+        if inner is not None:
+            return (
+                lambda v: {k: inner(x) if x is not None else None for k, x in v.items()}
+                if isinstance(v, dict)
+                else v
+            )
+        return None
+    return None
+
+
+def _apply_plan(r: dict, plan: list, defaults: dict, converters: dict) -> dict:
+    row = {}
+    for rname, src in plan:
+        if src is None:
+            row[rname] = r[rname] if rname in r else defaults[rname]
+        else:
+            v = r.get(src)
+            conv = converters.get(rname)
+            row[rname] = conv(v) if (conv is not None and v is not None) else v
+    return row
+
+
 def resolve_records(records: list, writer_schema: dict, reader_schema: dict) -> list:
-    """Apply record-level resolution: match by name/alias, inject reader
-    defaults for fields the writer lacks, convert string↔bytes
-    promotions, drop writer-only fields."""
+    """Apply record-level resolution: match by name/alias (recursively
+    through nested records/arrays/maps), inject reader defaults for
+    fields the writer lacks, convert string↔bytes promotions, drop
+    writer-only fields."""
     plan, defaults, converters = resolve_fields(writer_schema, reader_schema)
-    out = []
-    for r in records:
-        row = {}
-        for rname, src in plan:
-            if src is None:
-                row[rname] = r[rname] if rname in r else defaults[rname]
-            else:
-                v = r.get(src)
-                conv = converters.get(rname)
-                row[rname] = conv(v) if (conv is not None and v is not None) else v
-        out.append(row)
-    return out
+    return [_apply_plan(r, plan, defaults, converters) for r in records]

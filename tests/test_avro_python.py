@@ -269,6 +269,42 @@ def test_resolve_fields_string_to_bytes_and_alias_unit():
     assert out == [{"new_name": "hé".encode("utf-8")}]
 
 
+def test_nested_record_resolution_recurses(spark, tmp_path):
+    """Resolution is structural all the way down: a NESTED record's
+    fields get the same alias/default/promotion rules — including inside
+    arrays — and illegal nested narrowing raises."""
+    from kafka_connect_fs_spark.sources.avro_io import resolve_records
+
+    inner_w = {"type": "record", "name": "Inner", "fields": [
+        {"name": "n", "type": "int"},
+        {"name": "old", "type": "string"}]}
+    writer = {"type": "record", "name": "Outer", "fields": [
+        {"name": "one", "type": inner_w},
+        {"name": "many", "type": {"type": "array", "items": inner_w}}]}
+    inner_r = {"type": "record", "name": "Inner", "fields": [
+        {"name": "n", "type": "long"},                       # promoted
+        {"name": "renamed", "type": "string", "aliases": ["old"]},
+        {"name": "extra", "type": "int", "default": 5}]}
+    reader = {"type": "record", "name": "Outer", "fields": [
+        {"name": "one", "type": inner_r},
+        {"name": "many", "type": {"type": "array", "items": inner_r}}]}
+    recs = [{"one": {"n": 1, "old": "a"},
+             "many": [{"n": 2, "old": "b"}, None]}]
+    out = resolve_records(recs, writer, reader)
+    assert out == [{"one": {"n": 1, "renamed": "a", "extra": 5},
+                    "many": [{"n": 2, "renamed": "b", "extra": 5}, None]}]
+    # nested illegal narrowing fails eagerly at plan time
+    bad_inner = {"type": "record", "name": "Inner",
+                 "fields": [{"name": "n", "type": "int"}]}
+    bad_writer = {"type": "record", "name": "Outer", "fields": [
+        {"name": "one", "type": {"type": "record", "name": "Inner",
+                                 "fields": [{"name": "n", "type": "long"}]}}]}
+    bad_reader = {"type": "record", "name": "Outer",
+                  "fields": [{"name": "one", "type": bad_inner}]}
+    with pytest.raises(ValueError, match="cannot resolve"):
+        resolve_records([], bad_writer, bad_reader)
+
+
 def test_union_encode_matches_value_type():
     """Multi-branch non-null unions must encode by the VALUE's type, not
     the first non-null branch (["string","int"] given 3 used to crash)."""
