@@ -1584,6 +1584,68 @@ FROM events WHERE event_id < 2000
 """
 
 
+_COBOL_ODO_CPY = (
+    "01 UREC. 05 USER_ID PIC 9(8). 05 CNT PIC 9(2). "
+    "05 EVENTS OCCURS 0 TO 10 DEPENDING ON CNT PIC 9(10)."
+)
+
+
+def q_cobol_odo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length mainframe records end-to-end: synthesize an
+    OCCURS DEPENDING ON dump (per-user record carrying its first ≤10
+    event ids, records compacted back-to-back — every record a different
+    length), read it through the sequential ODO framing + per-count
+    vectorized decode + counter-sliced arrays, explode back to rows and
+    hash-match the relational recomputation. Covers the
+    variable-length reader surface the reference exposes via Cobrix's
+    VarLenReader config (CobolFileReader.java:47-92)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.sources.cobol import read_cobol
+    from kafka_connect_fs_spark.sources.readers import WorkItem
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("user_id", "event_id")
+        .collect()  # bounded slice: file synthesis only, not the scan path
+    )
+    by_user: dict[int, list[int]] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append(r.event_id)
+    buf = bytearray()
+    for uid in sorted(by_user):
+        ids = sorted(by_user[uid])[:10]
+        buf += (
+            f"{uid:08d}{len(ids):02d}" + "".join(f"{i:010d}" for i in ids)
+        ).encode("cp037")
+    base = tempfile.mkdtemp(prefix="kcfs_odo_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "users.dt")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    df = read_cobol(
+        spark,
+        [WorkItem(path, 0, os.path.getsize(path))],
+        {"copybook_content": _COBOL_ODO_CPY, "schema_policy": "collapse_root"},
+    )
+    return df.select(
+        F.col("USER_ID").cast("long").alias("user_id"),
+        F.explode("EVENTS").alias("event_id"),
+    ).select("user_id", F.col("event_id").cast("long").alias("event_id"))
+
+
+SQL_COBOL_ODO_ROUNDTRIP = """
+WITH ranked AS (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE event_id < 2000)
+SELECT user_id, event_id FROM ranked WHERE rn <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1600,6 +1662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_schema_evolution": q_lake_schema_evolution,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
+    "cobol_odo_roundtrip": q_cobol_odo_roundtrip,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "region_revenue_rollup": q_region_revenue_rollup,
@@ -1648,6 +1711,7 @@ ORACLES: dict[str, str] = {
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,
+    "cobol_odo_roundtrip": SQL_COBOL_ODO_ROUNDTRIP,
     "q1_pricing_summary": SQL_Q1,
     "q3_top_revenue": SQL_Q3,
     "region_revenue_rollup": SQL_REGION_ROLLUP,
