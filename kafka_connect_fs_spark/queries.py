@@ -1618,6 +1618,9 @@ def q_cobol_odo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     buf = bytearray()
     for uid in sorted(by_user):
         ids = sorted(by_user[uid])[:10]
+        # width guard: an overflowing f-string would silently widen past
+        # the PIC clause and misalign every subsequent record's framing
+        assert uid < 10**8 and all(i < 10**10 for i in ids), (uid, ids[:1])
         buf += (
             f"{uid:08d}{len(ids):02d}" + "".join(f"{i:010d}" for i in ids)
         ).encode("cp037")

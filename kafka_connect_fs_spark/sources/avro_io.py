@@ -384,7 +384,7 @@ def reader_defaults(writer_schema: dict, reader_schema: dict) -> dict:
 
 
 def resolve_fields(
-    writer_schema: dict, reader_schema: dict
+    writer_schema: dict, reader_schema: dict, _path: str = ""
 ) -> tuple[list, dict, dict]:
     """Avro schema resolution for records (the spec's 'Schema Resolution'
     rules, the part GenericDatumReader(writer, reader) applies in
@@ -426,7 +426,8 @@ def resolve_fields(
             defaults[rname] = _default_value(f)
             plan.append((rname, None))
             continue
-        conv = _value_resolver(writer_fields[src]["type"], f["type"], rname)
+        fpath = f"{_path}.{rname}" if _path else rname
+        conv = _value_resolver(writer_fields[src]["type"], f["type"], fpath)
         if conv is not None:
             converters[rname] = conv
         plan.append((rname, src))
@@ -437,14 +438,44 @@ def _is_record(t) -> bool:
     return isinstance(t, dict) and t.get("type") == "record"
 
 
+def _kind(t) -> str | None:
+    """Coarse structural kind for cross-kind validation; None = unknown
+    (named-type reference or unsupported shape — no validation)."""
+    if _primitive_name(t) is not None:
+        return "primitive"
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, dict):
+        k = t.get("type")
+        if k in ("record", "array", "map", "enum", "fixed"):
+            return k
+        if k in _PROMOTIONS:
+            return "primitive"
+    return None
+
+
+def _nonnull_branches(t) -> list:
+    return [b for b in t if b != "null"] if isinstance(t, list) else [t]
+
+
 def _value_resolver(wt, rt, path: str):
     """Converter for one writer→reader type pair, or None when values
-    pass through unchanged. Validates primitive promotions, and RECURSES
-    through nested records / arrays / maps so sub-record fields resolve
-    with the same name/alias/default/promotion rules as top-level ones
-    (the spec's resolution is structural all the way down). Unions and
-    named-type references pass through — their members resolve
-    structurally downstream."""
+    pass through unchanged. Validates primitive promotions and
+    cross-kind mismatches, and RECURSES through nested records / arrays
+    / maps — including through nullable unions (``["null", X]``, the
+    dominant nesting pattern: the null branch passes through, the
+    non-null branch resolves) — so sub-record fields get the same
+    name/alias/default/promotion rules as top-level ones. Multi-branch
+    non-null unions, enums, fixed, and named-type references pass
+    through to downstream structural typing."""
+    # unions: resolve the single non-null branch pair; a value of None
+    # passes through every converter unchanged (converters guard on
+    # isinstance), so the null branch needs no special casing
+    if isinstance(wt, list) or isinstance(rt, list):
+        wb, rb = _nonnull_branches(wt), _nonnull_branches(rt)
+        if len(wb) == 1 and len(rb) == 1:
+            return _value_resolver(wb[0], rb[0], path)
+        return None  # multi-branch unions: structural downstream
     wp, rp = _primitive_name(wt), _primitive_name(rt)
     if wp is not None and rp is not None:
         if rp not in _PROMOTIONS[wp]:
@@ -461,8 +492,25 @@ def _value_resolver(wt, rt, path: str):
         if wp == "string" and rp == "bytes":
             return lambda v: v.encode("utf-8") if isinstance(v, str) else v
         return None
+    wk, rk = _kind(wt), _kind(rt)
+    if wk is not None and rk is not None and wk != rk:
+        # record-vs-primitive, array-vs-map, ... cannot resolve; failing
+        # at plan time beats silent nulls out of from_json
+        raise ValueError(
+            f"cannot resolve writer {wk} schema as reader {rk} for field "
+            f"{path!r} (Avro schema-resolution error)"
+        )
     if _is_record(wt) and _is_record(rt):
-        sub = resolve_fields(wt, rt)  # validates the subtree eagerly
+        sub = resolve_fields(wt, rt, _path=path)  # validates eagerly
+        plan, defaults, converters = sub
+        writer_names = [f["name"] for f in wt.get("fields", [])]
+        if (
+            not defaults
+            and not converters
+            and [n for n, _ in plan] == writer_names
+            and all(n == s for n, s in plan)
+        ):
+            return None  # identity: skip per-record dict rebuilding
 
         def conv_record(v, _sub=sub):
             return _apply_plan(v, *_sub) if isinstance(v, dict) else v

@@ -936,7 +936,14 @@ def read_avro_python(
     or ``reader_schema`` (an Avro schema dict / JSON string) for FULL
     schema-resolution semantics — reader fields absent from a file's
     writer schema take their declared Avro DEFAULT, per file, exactly like
-    GenericDatumReader(writer, reader) (AvroFileReader.java:24,43-47)."""
+    GenericDatumReader(writer, reader) (AvroFileReader.java:24,43-47).
+
+    Failure policy: a CORRUPT container (bad magic, torn block, codec
+    error) is a data problem — skipped with a warning so one poison file
+    cannot stall the pipeline. A SCHEMA-RESOLUTION error (illegal
+    narrowing, missing default) is a configuration problem — it fails
+    the read loudly, like GenericDatumReader, so a wrong reader schema
+    is fixed instead of silently dropping files."""
     from kafka_connect_fs_spark.sources.avro_io import (
         avro_to_spark_schema,
         parse_container,

@@ -269,7 +269,7 @@ def test_resolve_fields_string_to_bytes_and_alias_unit():
     assert out == [{"new_name": "hé".encode("utf-8")}]
 
 
-def test_nested_record_resolution_recurses(spark, tmp_path):
+def test_nested_record_resolution_recurses():
     """Resolution is structural all the way down: a NESTED record's
     fields get the same alias/default/promotion rules — including inside
     arrays — and illegal nested narrowing raises."""
@@ -303,6 +303,65 @@ def test_nested_record_resolution_recurses(spark, tmp_path):
                   "fields": [{"name": "one", "type": bad_inner}]}
     with pytest.raises(ValueError, match="cannot resolve"):
         resolve_records([], bad_writer, bad_reader)
+
+
+def test_nullable_union_nested_resolution_and_cross_kind_errors():
+    """Review r4c: ["null", X] wraps most real nested fields — the
+    non-null branch must resolve (aliases/defaults/promotions and
+    bytes→string conversion), and structurally impossible pairs
+    (record vs primitive, array vs map) must raise at plan time, not
+    pass through to silent from_json nulls."""
+    from kafka_connect_fs_spark.sources.avro_io import resolve_records
+
+    inner_w = {"type": "record", "name": "I", "fields": [
+        {"name": "old", "type": "string"}]}
+    inner_r = {"type": "record", "name": "I", "fields": [
+        {"name": "renamed", "type": "string", "aliases": ["old"]},
+        {"name": "extra", "type": "int", "default": 7}]}
+    writer = {"type": "record", "name": "O", "fields": [
+        {"name": "one", "type": ["null", inner_w]},
+        {"name": "raw", "type": ["null", "bytes"]}]}
+    reader = {"type": "record", "name": "O", "fields": [
+        {"name": "one", "type": ["null", inner_r]},
+        {"name": "raw", "type": ["null", "string"]}]}
+    out = resolve_records(
+        [{"one": {"old": "a"}, "raw": b"hi"}, {"one": None, "raw": None}],
+        writer, reader,
+    )
+    assert out == [
+        {"one": {"renamed": "a", "extra": 7}, "raw": "hi"},
+        {"one": None, "raw": None},
+    ]
+    # nested narrowing INSIDE the union raises with the full field path
+    bad_reader = {"type": "record", "name": "O", "fields": [
+        {"name": "one", "type": ["null", {"type": "record", "name": "I",
+            "fields": [{"name": "old", "type": "int"}]}]},
+        {"name": "raw", "type": ["null", "bytes"]}]}
+    with pytest.raises(ValueError, match=r"one\.old"):
+        resolve_records([], writer, bad_reader)
+    # cross-kind: writer array vs reader map
+    w2 = {"fields": [{"name": "x", "type": {"type": "array", "items": "int"}}]}
+    r2 = {"fields": [{"name": "x", "type": {"type": "map", "values": "int"}}]}
+    with pytest.raises(ValueError, match="cannot resolve writer array"):
+        resolve_records([], w2, r2)
+    # record vs primitive
+    w3 = {"fields": [{"name": "x", "type": inner_w}]}
+    r3 = {"fields": [{"name": "x", "type": "string"}]}
+    with pytest.raises(ValueError, match="cannot resolve writer record"):
+        resolve_records([], w3, r3)
+
+
+def test_identity_nested_schema_builds_no_converter():
+    """An unevolved nested record must NOT pay per-record dict rebuilding."""
+    from kafka_connect_fs_spark.sources.avro_io import resolve_fields
+
+    inner = {"type": "record", "name": "I", "fields": [
+        {"name": "a", "type": "int"}, {"name": "b", "type": "string"}]}
+    schema = {"type": "record", "name": "O", "fields": [
+        {"name": "one", "type": inner},
+        {"name": "many", "type": {"type": "array", "items": inner}}]}
+    plan, defaults, converters = resolve_fields(schema, schema)
+    assert converters == {} and defaults == {}
 
 
 def test_union_encode_matches_value_type():
