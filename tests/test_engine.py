@@ -933,3 +933,138 @@ def test_merge_precommit_check_aborts_before_commit(spark, tmp_path):
     assert {r.conv_id for r in t.read().collect()} == {"c1"}
     t.merge(edf(spark, [ev("c2", 0, "now", 3)]), "b3")
     assert {r.conv_id for r in t.read().collect()} == {"c1", "c2"}
+
+
+def _wm_row(path, off=10, seq=0):
+    return {"path": path, "committed_offset": off, "file_size": off, "eof": True}
+
+
+def test_watermark_delta_log_commit_is_o_touched(spark, tmp_path):
+    """Steady-state watermark commit cost must be O(files touched this
+    batch), independent of the total tracked-file count: after seeding a
+    large base, a 500-file commit writes ONE small delta parquet and no new
+    base snapshot (round-4 verdict item #2: the previous design rewrote all
+    tracked rows every commit — 0.22 s/batch at 200k files)."""
+    from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
+
+    root = str(tmp_path / "wm")
+    store = WatermarkStore(spark, root)
+    n_tracked = 20_000
+    store.commit([_wm_row(f"/data/f{i:06d}") for i in range(n_tracked)], 0)
+    # the seed commit compacts (delta rows >= live rows) → base snapshot
+    assert os.path.exists(store._base_file(0))
+    base_sizes = {0: os.path.getsize(store._base_file(0))}
+    for b in range(1, 6):
+        store.commit(
+            [_wm_row(f"/data/f{i:06d}", off=20 + b) for i in range(0, 500 * b, b)][:500],
+            b,
+        )
+        # steady state: a delta file exists, NO new base was written
+        assert os.path.exists(store._delta_file(b)), b
+        assert not os.path.exists(store._base_file(b)), b
+        import pyarrow.parquet as pq
+
+        assert pq.read_table(store._delta_file(b)).num_rows == 500
+        # and the delta is tiny relative to the base
+        assert os.path.getsize(store._delta_file(b)) < base_sizes[0] / 5
+    assert len(store.load_dict()) == n_tracked
+    # cold replay (base + delta chain) reproduces the live state exactly
+    fresh = WatermarkStore(spark, root)
+    assert fresh.load_dict() == store.load_dict()
+    assert fresh.last_seq() == 5
+
+
+def test_watermark_delta_log_compaction_bounds_chain(spark, tmp_path):
+    """The delta chain is bounded: after _max_deltas commits the store
+    compacts into a fresh base and GC drops unreferenced deltas."""
+    from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
+
+    store = WatermarkStore(spark, str(tmp_path / "wm"))
+    store._max_deltas = 4
+    store.commit([_wm_row(f"/d/f{i}") for i in range(2000)], 0)  # base
+    for b in range(1, 8):
+        store.commit([_wm_row(f"/d/f{b}", off=100 + b)], b)
+    vs = store._versions()
+    meta = store._marker(vs[-1])
+    assert len(meta["delta_seqs"]) <= store._max_deltas
+    assert meta["base_seq"] > 0  # compaction produced a newer base
+    # GC: no orphan delta/base files beyond what kept markers reference
+    referenced = set()
+    for v in vs:
+        m = store._marker(v)
+        referenced.add(("b", m["base_seq"]))
+        referenced.update(("d", d) for d in m["delta_seqs"])
+    import re as _re
+
+    on_disk = set()
+    for name in os.listdir(str(tmp_path / "wm")):
+        if m := _re.fullmatch(r"d(\d{12})\.parquet", name):
+            on_disk.add(("d", int(m.group(1))))
+        elif m := _re.fullmatch(r"v(\d{12})", name):
+            on_disk.add(("b", int(m.group(1))))
+    assert on_disk <= referenced, on_disk - referenced
+    # state is still exact after compaction + GC
+    fresh = WatermarkStore(spark, str(tmp_path / "wm"))
+    d = fresh.load_dict()
+    assert len(d) == 2000
+    for b in range(1, 8):
+        assert d[f"/d/f{b}"]["committed_offset"] == 100 + b
+
+
+def test_watermark_delta_log_removals_replay(spark, tmp_path):
+    """Tombstoned removals survive a cold replay of the delta chain, and a
+    removal+re-add in later batches resolves to the re-add."""
+    from kafka_connect_fs_spark.sources.watermarks import WatermarkStore
+
+    root = str(tmp_path / "wm")
+    store = WatermarkStore(spark, root)
+    store.commit([_wm_row("/x/a"), _wm_row("/x/b"), _wm_row("/x/c")], 0)
+    store.commit([], 1, removed_paths=["/x/b"])
+    store.commit([_wm_row("/x/b", off=99)], 2)
+    store.commit([], 3, removed_paths=["/x/c"])
+    expect = {"/x/a": 10, "/x/b": 99}
+    live = {p: r["committed_offset"] for p, r in store.load_dict().items()}
+    assert live == expect
+    fresh = WatermarkStore(spark, root)
+    assert {p: r["committed_offset"] for p, r in fresh.load_dict().items()} == expect
+    # Spark lineage view agrees
+    assert {r.path: r.committed_offset for r in fresh.load().collect()} == expect
+
+
+def test_watermark_old_layout_migration(spark, tmp_path):
+    """A store written by the pre-delta-log layout (marker without
+    base_seq + v{seq}/snapshot.parquet) loads and upgrades in place."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from kafka_connect_fs_spark.sources.watermarks import (
+        _ARROW_SCHEMA,
+        WatermarkStore,
+    )
+
+    root = tmp_path / "wm"
+    (root / "v000000000003").mkdir(parents=True)
+    rows = [
+        {"path": "/old/a", "committed_offset": 5, "file_size": 5, "eof": True,
+         "batch_seq": 3, "updated_at": None},
+        {"path": "/old/b", "committed_offset": 7, "file_size": 9, "eof": False,
+         "batch_seq": 3, "updated_at": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(rows, schema=_ARROW_SCHEMA),
+        str(root / "v000000000003" / "snapshot.parquet"),
+    )
+    (root / "v000000000003.json").write_text(
+        _json.dumps({"batch_seq": 3, "n_updates": 2})
+    )
+    store = WatermarkStore(spark, str(root))
+    assert store.last_seq() == 3
+    assert {p: r["committed_offset"] for p, r in store.load_dict().items()} == {
+        "/old/a": 5, "/old/b": 7,
+    }
+    # a new commit appends a delta against the migrated base
+    store.commit([_wm_row("/old/c", off=1)], 4)
+    fresh = WatermarkStore(spark, str(root))
+    assert set(fresh.load_dict()) == {"/old/a", "/old/b", "/old/c"}
