@@ -29,8 +29,8 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution needs it
 
 def _ingest_throughput(
     spark, sf_dir: str, n_files: int = 64, multiplier: int = 10,
-    job_group: str | None = None,
-) -> dict:
+    job_group: str | None = None, runs: int = 1,
+) -> dict | list[dict]:
     """Full-engine ingest of transcript change events synthesized from the
     events table (replicated ``multiplier``× with shifted versions/ts so
     LWW has real work); returns events/sec.
@@ -92,22 +92,27 @@ def _ingest_throughput(
 
         make_engine("_warmup").run_once()
 
-        if job_group:
-            # scope the TIMED run's jobs for REST-profile attribution
-            # (tools/scaling_evidence.py filters stages by this group)
-            spark.sparkContext.setJobGroup(job_group, "timed ingest")
-        t0 = time.monotonic()
-        res = make_engine("").run_once()
-        dt = time.monotonic() - t0
-        if job_group:
-            spark.sparkContext.setJobGroup(None, None)
-        assert res.n_events == n_events, (res.n_events, n_events)
-        return {
-            "events": n_events,
-            "seconds": round(dt, 3),
-            "events_per_sec": round(n_events / dt, 1),
-            "rows_written": res.rows_written,
-        }
+        out = []
+        for i in range(runs):
+            if job_group:
+                # scope the TIMED run's jobs for REST-profile attribution
+                # (tools/scaling_evidence.py filters stages by this group)
+                spark.sparkContext.setJobGroup(job_group, "timed ingest")
+            t0 = time.monotonic()
+            res = make_engine(f"_r{i}").run_once()
+            dt = time.monotonic() - t0
+            if job_group:
+                spark.sparkContext.setJobGroup(None, None)
+            assert res.n_events == n_events, (res.n_events, n_events)
+            out.append(
+                {
+                    "events": n_events,
+                    "seconds": round(dt, 3),
+                    "events_per_sec": round(n_events / dt, 1),
+                    "rows_written": res.rows_written,
+                }
+            )
+        return out if runs > 1 else out[0]
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -333,15 +338,23 @@ def main() -> None:
         t0 = time.monotonic()
         result["queries"] = _run_queries(spark, sf_dir)
         result["value"] = round(time.monotonic() - t0, 3)
-        # best-of-2: the headline throughput on this co-tenant box swings
-        # ±40% run-to-run (BENCH.md Run-to-run variance) — one extra
-        # ~5s pass makes the recorded number the sustained-capability
-        # figure, not a load-spike sample
-        runs = [_ingest_throughput(spark, sf_dir) for _ in range(2)]
-        result["ingest"] = max(runs, key=lambda r: r["events_per_sec"])
+        # Headline sizing: r04's batch sweep (bench_artifacts/r04_batchsweep
+        # .json) showed a 1M-event leg is ~50% serial floor — it measured
+        # the floor plus co-tenant noise (r04 recorded 199k ev/s while the
+        # same code sustained 1.66M at 6M-event batches). multiplier=60
+        # (6M events at sf0.1) amortizes the floor so the recorded number
+        # reflects MERGE-apply capability. Median of 3 runs: on a ±40%
+        # noisy box, max-of-N estimates the upper noise tail and min the
+        # lower; the median is the sustained-capability statistic. All
+        # runs disclosed alongside.
+        runs = _ingest_throughput(spark, sf_dir, multiplier=60, runs=3)
+        result["ingest"] = sorted(runs, key=lambda r: r["events_per_sec"])[
+            len(runs) // 2
+        ]
         result["ingest"]["all_runs_events_per_sec"] = [
             r["events_per_sec"] for r in runs
         ]
+        result["ingest"]["headline_stat"] = "median_of_3"
     finally:
         spark.stop()
 
