@@ -1516,6 +1516,81 @@ FROM events WHERE event_id < 2000
 """
 
 
+def q_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro LOGICAL types end-to-end through the pure-Python codec:
+    synthesize a container whose columns carry decimal(20,4) (bytes +
+    two's-complement unscaled), date, and timestamp-micros, read it back
+    typed (DecimalType/DateType/TimestampType via the from_json scan
+    path), and hash-match a relational recomputation. Values are surfaced
+    engine-neutrally (decimal re-scaled to bigint, date/timestamp
+    formatted) so the compare is exact. Reference behavior: Confluent
+    AvroData logical-type mapping (ref AvroFileReader.java:33-38)."""
+    import atexit
+    import datetime as dt
+    import shutil
+    import tempfile
+    from decimal import Decimal
+
+    from kafka_connect_fs_spark.sources.avro_io import write_container
+    from kafka_connect_fs_spark.sources.readers import WorkItem, read_columnar
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select(
+            "event_id",
+            F.round(F.col("value") * 10000).cast("long").alias("value_bp"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        .collect()  # bounded slice: file synthesis only, not the scan path
+    )
+    rows = [
+        {
+            "event_id": r.event_id,
+            "amount": Decimal(r.value_bp).scaleb(-4),
+            "day": r.ts.date(),
+            "ts_us": r.ts + dt.timedelta(microseconds=r.event_id % 1_000_000),
+        }
+        for r in e
+    ]
+    schema = {
+        "type": "record",
+        "name": "EvL",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "amount", "type": {
+                "type": "bytes", "logicalType": "decimal",
+                "precision": 20, "scale": 4}},
+            {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "ts_us", "type": {
+                "type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    base = tempfile.mkdtemp(prefix="kcfs_avro_lq_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "events_logical.avro")
+    write_container(path, schema, rows, codec="deflate")
+    df = read_columnar(
+        spark, [WorkItem(path, 0, os.path.getsize(path))], "avro"
+    )
+    return df.select(
+        "event_id",
+        (F.col("amount") * 10000).cast("long").alias("value_bp"),
+        F.date_format("day", "yyyy-MM-dd").alias("day_s"),
+        F.date_format("ts_us", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_us_s"),
+    )
+
+
+SQL_AVRO_LOGICAL_ROUNDTRIP = """
+SELECT event_id,
+       CAST(round(value * 10000, 0) AS BIGINT) AS value_bp,
+       strftime(ts, '%Y-%m-%d') AS day_s,
+       strftime(ts + to_microseconds(CAST(event_id % 1000000 AS BIGINT)),
+                '%Y-%m-%d %H:%M:%S.%f') AS ts_us_s
+FROM events WHERE event_id < 2000
+"""
+
+
 _COBOL_EV_CPY = """
        01  EV.
            05  EVENT-ID    PIC 9(10).
@@ -1664,6 +1739,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_deletes_applied": q_cdc_deletes_applied,
     "lake_schema_evolution": q_lake_schema_evolution,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
+    "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
     "cobol_odo_roundtrip": q_cobol_odo_roundtrip,
     "q1_pricing_summary": q_q1_pricing_summary,
@@ -1713,6 +1789,7 @@ ORACLES: dict[str, str] = {
     "cdc_deletes_applied": SQL_CDC_DELETES_APPLIED,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
+    "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,
     "cobol_odo_roundtrip": SQL_COBOL_ODO_ROUNDTRIP,
     "q1_pricing_summary": SQL_Q1,

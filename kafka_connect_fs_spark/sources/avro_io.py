@@ -8,7 +8,10 @@ because neither that jar nor any Python avro package ships in the sandbox
 metadata map with schema+codec, sync-marked blocks, zigzag-varint binary
 encoding) directly, so the Avro path is executable and tested here, not
 skip-gated. Scope: null/deflate codecs; primitives, record, enum, array,
-map, union, fixed — the types the reference's own test fixtures use.
+map, union, fixed — the types the reference's own test fixtures use —
+plus the spec's logical types decimal (bytes/fixed), date, and
+timestamp-millis/micros, surfaced as Decimal/date/datetime and mapped to
+Spark DecimalType/DateType/TimestampType.
 
 The writer exists for tests (round-trips need files to read); production
 data is written by other systems.
@@ -16,6 +19,8 @@ data is written by other systems.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import io
 import json
 import os
@@ -71,7 +76,60 @@ def _write_bytes(out: io.BytesIO, data: bytes) -> None:
 # ----------------------------------------------------------- datum codec
 
 
+_EPOCH = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _from_logical(schema: dict, raw):
+    """Underlying-primitive value → logical Python value (Avro spec
+    'Logical Types'; the reference gets this via Confluent AvroData,
+    ref: file/reader/AvroFileReader.java:33-38)."""
+    if raw is None:
+        return None
+    lt = schema["logicalType"]
+    if lt == "decimal":
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
+    if lt == "date":
+        return _EPOCH_DATE + _dt.timedelta(days=raw)
+    if lt == "timestamp-millis":
+        return _EPOCH + _dt.timedelta(milliseconds=raw)
+    if lt == "timestamp-micros":
+        return _EPOCH + _dt.timedelta(microseconds=raw)
+    return raw  # uuid, time-*: keep the underlying representation
+
+
+def _to_raw(schema: dict, value):
+    """Logical Python value → underlying primitive (inverse of
+    _from_logical); raw-typed inputs pass through so pre-converted data
+    round-trips."""
+    lt = schema["logicalType"]
+    if lt == "decimal" and isinstance(value, _decimal.Decimal):
+        scale = int(schema.get("scale", 0))
+        unscaled = int(value.scaleb(scale).to_integral_value())
+        if schema["type"] == "fixed":
+            return unscaled.to_bytes(schema["size"], "big", signed=True)
+        length = max(1, (unscaled.bit_length() + 8) // 8)  # +1 sign bit
+        return unscaled.to_bytes(length, "big", signed=True)
+    if lt == "date" and isinstance(value, _dt.date) and not isinstance(
+        value, _dt.datetime
+    ):
+        return (value - _EPOCH_DATE).days
+    if lt == "timestamp-millis" and isinstance(value, _dt.datetime):
+        return round((value - _EPOCH).total_seconds() * 1000)
+    if lt == "timestamp-micros" and isinstance(value, _dt.datetime):
+        delta = value - _EPOCH
+        return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+    return value
+
+
 def _decode(buf: io.BytesIO, schema) -> object:
+    if isinstance(schema, dict) and "logicalType" in schema:
+        return _from_logical(schema, _decode_raw(buf, schema))
+    return _decode_raw(buf, schema)
+
+
+def _decode_raw(buf: io.BytesIO, schema) -> object:
     if isinstance(schema, str):
         t = schema
     elif isinstance(schema, list):  # union: long index, then value
@@ -148,10 +206,26 @@ _BRANCH_PY_TYPES = {
 }
 
 
+_LOGICAL_PY_TYPES = {
+    "decimal": _decimal.Decimal,
+    "date": _dt.date,
+    "timestamp-millis": _dt.datetime,
+    "timestamp-micros": _dt.datetime,
+}
+
+
 def _branch_accepts(branch, value) -> bool:
     bt = branch if isinstance(branch, str) else branch["type"]
     if bt == "null":
         return value is None
+    if isinstance(branch, dict) and "logicalType" in branch:
+        lt = branch["logicalType"]
+        pt = _LOGICAL_PY_TYPES.get(lt)
+        # datetime subclasses date: a datetime must not match a date branch
+        if pt is not None and isinstance(value, pt) and not (
+            lt == "date" and isinstance(value, _dt.datetime)
+        ):
+            return True  # raw-typed values fall through to the primitive check
     pts = _BRANCH_PY_TYPES.get(bt)
     if pts is None:
         return True  # nested union etc. — let recursion decide
@@ -173,6 +247,8 @@ def _encode(out: io.BytesIO, schema, value) -> None:
                 _encode(out, branch, value)
                 return
         raise ValueError(f"no union branch for {value!r}")
+    if isinstance(schema, dict) and "logicalType" in schema and value is not None:
+        value = _to_raw(schema, value)
     t = schema if isinstance(schema, str) else schema["type"]
     if t == "null":
         return
@@ -302,6 +378,17 @@ def avro_to_spark_schema(schema: dict):
             if len(non_null) != 1:
                 raise ValueError(f"only [null, T] unions supported, got {s}")
             return conv(non_null[0])
+        if isinstance(s, dict) and "logicalType" in s:
+            lt = s["logicalType"]
+            if lt == "decimal":
+                return T.DecimalType(
+                    int(s.get("precision", 10)), int(s.get("scale", 0))
+                )
+            if lt == "date":
+                return T.DateType()
+            if lt in ("timestamp-millis", "timestamp-micros"):
+                return T.TimestampType()
+            # uuid/time-*: fall through to the underlying primitive
         t = s if isinstance(s, str) else s["type"]
         prim = {
             "boolean": T.BooleanType(), "int": T.IntegerType(),
@@ -346,7 +433,11 @@ def _default_value(field: dict):
         t = t[0]  # union default targets the FIRST branch
     tn = t if isinstance(t, str) else t.get("type")
     if tn in ("bytes", "fixed") and isinstance(d, str):
-        return d.encode("latin-1")
+        d = d.encode("latin-1")
+    if isinstance(t, dict) and "logicalType" in t and d is not None:
+        # defaults are written against the RAW type; surface the logical
+        # value so a defaulted decimal/date/timestamp column stays typed
+        return _from_logical(t, d)
     return d
 
 

@@ -31,6 +31,8 @@ decompresses and skips — same asymptotics as the reference's
 from __future__ import annotations
 
 import bz2
+import datetime
+import decimal
 import gzip
 import json
 import os
@@ -975,6 +977,12 @@ def read_avro_python(
         def jsonable(v):
             if isinstance(v, bytes):
                 return base64.b64encode(v).decode("ascii")  # from_json binary
+            if isinstance(v, decimal.Decimal):
+                return str(v)  # quoted exact literal → DecimalType
+            if isinstance(v, datetime.datetime):
+                return v.isoformat(sep=" ")  # → TimestampType (micros kept)
+            if isinstance(v, datetime.date):
+                return v.isoformat()  # → DateType
             if isinstance(v, dict):
                 return {k: jsonable(x) for k, x in v.items()}
             if isinstance(v, list):

@@ -409,3 +409,114 @@ def test_write_container_rejects_unknown_codec(tmp_path):
             [{"x": 1}],
             codec="snappy",
         )
+
+
+# ------------------------------------------------------- logical types
+
+LOGICAL_SCHEMA = {
+    "type": "record",
+    "name": "L",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {
+            "name": "amount",
+            "type": {
+                "type": "bytes",
+                "logicalType": "decimal",
+                "precision": 20,
+                "scale": 3,
+            },
+        },
+        {
+            "name": "amount_fixed",
+            "type": {
+                "type": "fixed",
+                "name": "Dec8",
+                "size": 8,
+                "logicalType": "decimal",
+                "precision": 18,
+                "scale": 2,
+            },
+        },
+        {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+        {
+            "name": "ts_ms",
+            "type": {"type": "long", "logicalType": "timestamp-millis"},
+        },
+        {
+            "name": "ts_us",
+            "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
+        },
+    ],
+}
+
+
+def _logical_recs(n):
+    import datetime as dt
+    from decimal import Decimal
+
+    return [
+        {
+            "id": i,
+            "amount": Decimal(f"{(-1) ** i * (10**13 + i)}.{i % 1000:03d}"),
+            "amount_fixed": Decimal(f"{i * 7}.{i % 100:02d}"),
+            "day": dt.date(1970, 1, 1) + dt.timedelta(days=i * 37 - 100),
+            "ts_ms": dt.datetime(2020, 1, 1) + dt.timedelta(milliseconds=i * 777),
+            "ts_us": None
+            if i % 5 == 0
+            else dt.datetime(2020, 1, 1) + dt.timedelta(microseconds=i * 999_999),
+        }
+        for i in range(n)
+    ]
+
+
+def test_logical_types_codec_roundtrip(tmp_path):
+    p = str(tmp_path / "logical.avro")
+    rows = _logical_recs(40)
+    write_container(p, LOGICAL_SCHEMA, rows)
+    schema, back = parse_container(open(p, "rb").read())
+    assert back == rows  # Decimal/date/datetime round-trip exactly
+
+
+def test_logical_types_spark_schema():
+    st = avro_to_spark_schema(LOGICAL_SCHEMA)
+    assert st["amount"].dataType == T.DecimalType(20, 3)
+    assert st["amount_fixed"].dataType == T.DecimalType(18, 2)
+    assert st["day"].dataType == T.DateType()
+    assert st["ts_ms"].dataType == T.TimestampType()
+    assert st["ts_us"].dataType == T.TimestampType()
+
+
+def test_logical_types_spark_read(spark, tmp_path):
+    p = str(tmp_path / "logical.avro")
+    rows = _logical_recs(25)
+    write_container(p, LOGICAL_SCHEMA, rows)
+    df = read_avro_python(spark, [WorkItem(p, 0, os.path.getsize(p))])
+    got = {r.id: r for r in df.collect()}
+    assert len(got) == 25
+    for want in rows:
+        g = got[want["id"]]
+        assert g.amount == want["amount"]
+        assert g.amount_fixed == want["amount_fixed"]
+        assert g.day == want["day"]
+        assert g.ts_ms == want["ts_ms"]
+        assert g.ts_us == want["ts_us"]
+
+
+def test_logical_decimal_negative_fixed_sign_extension(tmp_path):
+    from decimal import Decimal
+
+    p = str(tmp_path / "neg.avro")
+    rows = [
+        {
+            "id": 0,
+            "amount": Decimal("-0.001"),
+            "amount_fixed": Decimal("-12345678901234.56"),
+            "day": __import__("datetime").date(1969, 7, 20),
+            "ts_ms": __import__("datetime").datetime(1969, 12, 31, 23, 59, 59),
+            "ts_us": None,
+        }
+    ]
+    write_container(p, LOGICAL_SCHEMA, rows)
+    _, back = parse_container(open(p, "rb").read())
+    assert back == rows  # pre-epoch + negative decimals, fixed sign-extended
