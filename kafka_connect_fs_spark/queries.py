@@ -1724,6 +1724,85 @@ SELECT user_id, event_id FROM ranked WHERE rn <= 10
 """
 
 
+_COBOL_MULTI_ODO_CPY = (
+    "01 U. 05 USER_ID PIC 9(8). 05 NE PIC 9(2). "
+    "05 EVS OCCURS 0 TO 5 DEPENDING ON NE PIC 9(10). "
+    "05 NT PIC 9(2). "
+    "05 TYPS OCCURS 0 TO 4 DEPENDING ON NT PIC X(8)."
+)
+
+
+def q_cobol_multi_odo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO OCCURS DEPENDING ON arrays per record — the second counter
+    (NT) is laid out AFTER the first variable array, so its on-disk
+    position shifts with every record's first count; ~1/3 of users carry
+    a zero-length second array. Framing must apply cumulative compaction
+    left-to-right and decode must group by the count VECTOR. Covers the
+    multi-ODO surface Cobrix exposes (ref CobolFileReader.java:47-92)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.sources.cobol import read_cobol
+    from kafka_connect_fs_spark.sources.readers import WorkItem
+
+    e = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("user_id", "event_id", "event_type")
+        .collect()  # bounded slice: file synthesis only, not the scan path
+    )
+    by_user: dict[int, list] = {}
+    for r in e:
+        by_user.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+    buf = bytearray()
+    for uid in sorted(by_user):
+        evs = sorted(by_user[uid])
+        ids = [i for i, _ in evs][:5]
+        typs = [s[:8] for _, s in evs][:4] if uid % 3 != 0 else []
+        # width guard: an overflowing f-string would silently widen past
+        # the PIC clause and misalign every subsequent record's framing
+        assert uid < 10**8 and all(i < 10**10 for i in ids), (uid, ids[:1])
+        buf += (
+            f"{uid:08d}{len(ids):02d}"
+            + "".join(f"{i:010d}" for i in ids)
+            + f"{len(typs):02d}"
+            + "".join(s.ljust(8) for s in typs)
+        ).encode("cp037")
+    base = tempfile.mkdtemp(prefix="kcfs_modo_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "users2.dt")
+    with open(path, "wb") as f:
+        f.write(bytes(buf))
+    df = read_cobol(
+        spark,
+        [WorkItem(path, 0, os.path.getsize(path))],
+        {"copybook_content": _COBOL_MULTI_ODO_CPY,
+         "schema_policy": "collapse_root"},
+    )
+    return df.select(
+        F.col("USER_ID").cast("long").alias("user_id"),
+        F.concat_ws(
+            ",", F.transform("EVS", lambda x: x.cast("long").cast("string"))
+        ).alias("ev_ids"),
+        F.concat_ws(",", "TYPS").alias("typs"),
+    )
+
+
+SQL_COBOL_MULTI_ODO_ROUNDTRIP = """
+WITH ranked AS (
+  SELECT user_id, event_id, substr(event_type, 1, 8) AS et,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+  FROM events WHERE event_id < 2000)
+SELECT user_id,
+  string_agg(CASE WHEN rn <= 5 THEN CAST(event_id AS VARCHAR) END,
+             ',' ORDER BY event_id) AS ev_ids,
+  COALESCE(string_agg(CASE WHEN user_id % 3 <> 0 AND rn <= 4 THEN et END,
+                      ',' ORDER BY event_id), '') AS typs
+FROM ranked GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 
 
@@ -1742,6 +1821,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
     "cobol_odo_roundtrip": q_cobol_odo_roundtrip,
+    "cobol_multi_odo_roundtrip": q_cobol_multi_odo_roundtrip,
     "q1_pricing_summary": q_q1_pricing_summary,
     "q3_top_revenue": q_q3_top_revenue,
     "region_revenue_rollup": q_region_revenue_rollup,
@@ -1792,6 +1872,7 @@ ORACLES: dict[str, str] = {
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,
     "cobol_odo_roundtrip": SQL_COBOL_ODO_ROUNDTRIP,
+    "cobol_multi_odo_roundtrip": SQL_COBOL_MULTI_ODO_ROUNDTRIP,
     "q1_pricing_summary": SQL_Q1,
     "q3_top_revenue": SQL_Q3,
     "region_revenue_rollup": SQL_REGION_ROLLUP,

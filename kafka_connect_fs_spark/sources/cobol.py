@@ -34,7 +34,7 @@ from .copybook import (
     Leaf,
     decode_records,
     decode_records_odo,
-    find_odo,
+    find_odos,
     flatten,
     parse_copybook,
     spark_type_for,
@@ -104,7 +104,7 @@ def read_cobol(
     nested DataFrame with ``_src_file``/``_src_offset`` lineage."""
     opts = CobolOptions(options)
     root = parse_copybook(_load_copybook(opts))
-    odo = find_odo(root)  # validates the supported ODO envelope
+    odos = find_odos(root)  # validates the supported ODO envelope
     lrecl = int(opts.record_length) if opts.record_length else max(
         c.offset + c.extent for c in root.children
     )
@@ -115,7 +115,7 @@ def read_cobol(
     # framing. An EXPLICIT record_length instead declares a fixed padded
     # layout (array at max extent, static offsets): normal split planning,
     # with beyond-count occurrences trimmed during reassembly.
-    odo_variable = odo is not None and not opts.record_length and not opts.is_record_sequence
+    odo_variable = bool(odos) and not opts.record_length and not opts.is_record_sequence
 
     flat_fields = []
     for leaf in leaves:
@@ -147,22 +147,37 @@ def read_cobol(
     col_order = [f.name for f in flat_schema.fields]
     # ODO: variable layouts decode per-count (compacted offsets); an
     # explicit record_length keeps the static padded layout instead
-    odo_compact = odo is not None and not opts.record_length
-    odo_counter_leaf = (
-        next(l for l in leaves if l.f is odo[1]) if odo is not None else None
-    )
-    odo_item_size = odo[0].size if odo is not None else 0
-    odo_max = odo[0].occurs if odo is not None else 0
+    odo_compact = bool(odos) and not opts.record_length
+    odo_counter_leaves = [
+        next(l for l in leaves if l.f is counter) for _, counter in odos
+    ]
     odo_base_size = max(c.offset + c.extent for c in root.children)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from kafka_connect_fs_spark.sources.copybook import ebcdic_to_ascii_table
 
         e2a = ebcdic_to_ascii_table(code_page)
-        read_counter = (
-            _counter_reader(odo_counter_leaf, ebcdic, e2a)
+        odo_meta = (
+            [
+                {
+                    "reader": _counter_reader(cleaf, ebcdic, e2a),
+                    "counter_end": cleaf.offset + cleaf.f.size,
+                    "item_size": odo.size,
+                    "max_occurs": odo.occurs,
+                    "min_occurs": odo.occurs_min,
+                    # earlier arrays laid out before this counter shift it
+                    "affect": [
+                        i
+                        for i in range(j)
+                        if odos[i][0].offset < cleaf.offset
+                    ],
+                }
+                for j, ((odo, _), cleaf) in enumerate(
+                    zip(odos, odo_counter_leaves)
+                )
+            ]
             if odo_variable
-            else None
+            else []
         )
         for pdf in batches:
             for row in pdf.itertuples(index=False):
@@ -178,9 +193,8 @@ def read_cobol(
                     )
                 elif odo_variable:
                     recs, offsets = _frame_odo(
-                        raw, lrecl, read_counter, odo_base_size,
-                        odo_item_size, odo_max, base=start,
-                        emit_from=int(row.emit_from),
+                        raw, lrecl, odo_meta, odo_base_size, base=start,
+                        emit_from=int(row.emit_from), src=path,
                     )
                 else:
                     n = len(raw) // lrecl
@@ -268,11 +282,13 @@ def _counter_reader(counter_leaf: Leaf, ebcdic: bool, e2a: np.ndarray):
         # large counts negative and desync framing)
         signed = bool(f.pic and f.pic.signed)
 
-        def read(raw: bytes, pos: int) -> int:
-            return int.from_bytes(raw[pos + off : pos + end], "big", signed=signed)
+        def read(raw: bytes, pos: int, shift: int = 0) -> int:
+            return int.from_bytes(
+                raw[pos + off - shift : pos + end - shift], "big", signed=signed
+            )
     elif f.usage == "comp3":
-        def read(raw: bytes, pos: int) -> int:
-            b = raw[pos + off : pos + end]
+        def read(raw: bytes, pos: int, shift: int = 0) -> int:
+            b = raw[pos + off - shift : pos + end - shift]
             if not b:
                 return 0
             nibbles: list[int] = []
@@ -286,8 +302,8 @@ def _counter_reader(counter_leaf: Leaf, ebcdic: bool, e2a: np.ndarray):
                     v = v * 10 + d
             return -v if sign == 0xD else v
     else:  # DISPLAY digits (counters are conventionally unsigned zoned)
-        def read(raw: bytes, pos: int) -> int:
-            b = raw[pos + off : pos + end]
+        def read(raw: bytes, pos: int, shift: int = 0) -> int:
+            b = raw[pos + off - shift : pos + end - shift]
             if ebcdic:
                 b = bytes(int(v) for v in e2a[np.frombuffer(b, np.uint8)])
             s = "".join(ch for ch in b.decode("ascii", "replace") if ch.isdigit())
@@ -298,35 +314,57 @@ def _counter_reader(counter_leaf: Leaf, ebcdic: bool, e2a: np.ndarray):
 def _frame_odo(
     raw: bytes,
     lrecl: int,
-    read_counter,
+    odo_meta: list[dict],
     base_size: int,
-    item_size: int,
-    max_occurs: int,
     base: int,
     emit_from: int = 0,
+    src: str = "",
 ) -> tuple[bytes, list[int]]:
     """Frame back-to-back variable-length OCCURS DEPENDING ON records:
-    each record's on-disk length is ``base_size - (max - count) *
-    item_size`` with count read from its fixed-offset counter field.
-    Like RDW, framing is sequential (record N's start depends on every
-    prior length), so ODO files parallelize per file, and ``emit_from``
-    gives the same append-resume semantics as _frame_rdw. Records are
-    padded to the static (max-occurrence) lrecl for the rectangular
-    decode matrix; the pad bytes are never read (the per-count layouts
-    stop at the record's true length). A torn trailing record claims
-    nothing."""
+    each record's on-disk length is ``base_size - Σ_j (max_j - count_j)
+    * item_size_j`` over every ODO array, with counts read left-to-right
+    (a counter laid out after an earlier variable array sits at a
+    shifted position, so each read applies the compaction of the arrays
+    before it). Like RDW, framing is sequential (record N's start
+    depends on every prior length), so ODO files parallelize per file,
+    and ``emit_from`` gives the same append-resume semantics as
+    _frame_rdw. Records are padded to the static (max-occurrence) lrecl
+    for the rectangular decode matrix; the pad bytes are never read
+    (the per-count layouts stop at the record's true length). A torn
+    trailing record claims nothing; a counter outside its declared
+    [occurs_min, occurs] range means the stream is desynced (corruption
+    or wrong copybook) — every later record start would be wrong, so
+    framing stops there with a warning instead of clamping ahead."""
     recs = bytearray()
     offsets: list[int] = []
     pos = 0
     while pos < len(raw):
-        # the counter lives in the fixed prefix — a fragment too short to
-        # contain it is a torn record
-        probe_end = pos + base_size - (max_occurs * item_size)
-        if probe_end > len(raw):
+        ln = base_size
+        comps: list[int] = []  # per-array compaction, layout order
+        torn = bad = False
+        for m in odo_meta:
+            shift = sum(comps[i] for i in m["affect"])
+            if pos + m["counter_end"] - shift > len(raw):
+                torn = True  # fragment too short to contain the counter
+                break
+            c = int(m["reader"](raw, pos, shift))
+            if c < m["min_occurs"] or c > m["max_occurs"]:
+                bad = True
+                import sys
+
+                print(
+                    f"kcfs: ODO counter {c} outside "
+                    f"[{m['min_occurs']}, {m['max_occurs']}] at "
+                    f"{src}:{base + pos} — stopping framing for this "
+                    "split (corrupt data or wrong copybook)",
+                    file=sys.stderr,
+                )
+                break
+            comp = (m["max_occurs"] - c) * m["item_size"]
+            comps.append(comp)
+            ln -= comp
+        if torn or bad:
             break
-        c = read_counter(raw, pos)
-        c = max(0, min(int(c), max_occurs))
-        ln = base_size - (max_occurs - c) * item_size
         if ln <= 0 or pos + ln > len(raw):
             break
         if base + pos + ln > emit_from:
@@ -375,19 +413,19 @@ def _assemble(flat_df: DataFrame, root: Field, opts: CobolOptions) -> DataFrame:
         if opts.debug:
             out.append(F.col(flat + "__debug").alias(f.name + "_debug"))
 
-    odo = find_odo(root)
-    odo_counter_flat = (
-        next(l.flat for l in flatten(root) if l.f is odo[1])
-        if odo is not None
-        else None
-    )
+    all_leaves = flatten(root)
+    # counter flat-column per ODO array, keyed by the array's identity
+    counter_flat_by_odo = {
+        id(odo): next(l.flat for l in all_leaves if l.f is counter)
+        for odo, counter in find_odos(root)
+    }
 
     def odo_trim(arr: "F.Column", f: Field) -> "F.Column":
         """Slice an OCCURS DEPENDING ON array down to its row's counter
         value (clamped to [0, max]) — occurrences beyond the count are
         layout artifacts, not data."""
         cnt = F.least(
-            F.greatest(F.col(odo_counter_flat).cast("int"), F.lit(0)),
+            F.greatest(F.col(counter_flat_by_odo[id(f)]).cast("int"), F.lit(0)),
             F.lit(f.occurs),
         )
         return F.slice(arr, F.lit(1), cnt)

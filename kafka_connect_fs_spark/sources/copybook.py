@@ -395,86 +395,128 @@ def _layout(group: Field) -> int:
 # ---------------------------------------------------- OCCURS DEPENDING ON
 
 
-def find_odo(root: Field) -> tuple[Field, Field] | None:
-    """Locate the single ``OCCURS ... DEPENDING ON`` field and its counter
-    item, or None when the copybook has no ODO.
+def find_odos(root: Field) -> list[tuple[Field, Field]]:
+    """Locate every ``OCCURS ... DEPENDING ON`` field with its counter
+    item, in layout (offset) order; [] when the copybook has no ODO.
 
-    Supported envelope (raises CopybookError outside it): exactly one ODO
-    item, in a single-01-variant copybook; the counter is an elementary
-    non-array item laid out at a fixed offset BEFORE the variable array
-    (the universal mainframe convention — the reader must know the count
-    before it can frame the record). Cobrix exposes the same
-    variable-length surface via its VarLenReader config
-    (ref CobolFileReader.java:47-92)."""
+    Supported envelope (raises CopybookError outside it): a
+    single-01-variant copybook; each ODO item sits outside any repeating
+    group; each counter is an elementary non-array item laid out at a
+    fixed offset BEFORE its variable array (the universal mainframe
+    convention — the reader must know the count before it can frame the
+    record), and its name is unambiguous (duplicate item names in
+    different groups — legal in COBOL with qualification — would
+    silently bind the counter to the wrong field and misframe every
+    record). Cobrix exposes the same variable-length surface via its
+    VarLenReader config (ref CobolFileReader.java:47-92)."""
     odos: list[Field] = []
-    by_name: dict[str, tuple[Field, bool]] = {}
+    by_name: dict[str, list[tuple[Field, bool]]] = {}
 
     def walk(f: Field, in_array: bool) -> None:
         for ch in f.children:
             ch_in_array = in_array or bool(ch.occurs)
             if ch.depending_on:
+                if in_array:
+                    raise CopybookError(
+                        "OCCURS DEPENDING ON inside a repeating group is "
+                        "not supported"
+                    )
                 odos.append(ch)
-            by_name.setdefault(ch.name, (ch, in_array))
+            by_name.setdefault(ch.name, []).append((ch, in_array))
             if ch.is_group:
                 walk(ch, ch_in_array)
 
     walk(root, False)
     if not odos:
-        return None
-    if len(odos) > 1:
-        raise CopybookError("Only one OCCURS DEPENDING ON item is supported")
+        return []
     if len(root.children) > 1:
         raise CopybookError(
             "OCCURS DEPENDING ON with multiple 01-level record variants is "
             "not supported"
         )
-    odo = odos[0]
-    ent = by_name.get(odo.depending_on)
-    if ent is None:
-        raise CopybookError(
-            f"OCCURS DEPENDING ON references unknown item {odo.depending_on!r}"
-        )
-    counter, counter_in_array = ent
-    if counter.is_group or counter.occurs or counter_in_array:
-        raise CopybookError(
-            "DEPENDING ON counter must be an elementary, non-repeating item"
-        )
-    if counter.offset >= odo.offset:
-        raise CopybookError(
-            "DEPENDING ON counter must be laid out before the variable array"
-        )
-    return odo, counter
+    out: list[tuple[Field, Field]] = []
+    for odo in sorted(odos, key=lambda f: f.offset):
+        cands = by_name.get(odo.depending_on, [])
+        if not cands:
+            raise CopybookError(
+                f"OCCURS DEPENDING ON references unknown item "
+                f"{odo.depending_on!r}"
+            )
+        if len(cands) > 1:
+            raise CopybookError(
+                f"DEPENDING ON counter name {odo.depending_on!r} is "
+                f"ambiguous ({len(cands)} items share it); qualified "
+                "counters are not supported — rename the items"
+            )
+        counter, counter_in_array = cands[0]
+        if counter.is_group or counter.occurs or counter_in_array:
+            raise CopybookError(
+                "DEPENDING ON counter must be an elementary, non-repeating item"
+            )
+        if counter.offset >= odo.offset:
+            raise CopybookError(
+                "DEPENDING ON counter must be laid out before the variable array"
+            )
+        out.append((odo, counter))
+    return out
 
 
-def specialize_odo(root: Field, count: int) -> Field:
-    """A deep copy of the tree with the ODO array fixed at ``count``
-    occurrences and the layout recomputed — fields AFTER the array shift
-    left, exactly how a variable-length mainframe record compacts on
-    disk. ``count==0`` removes the array entirely. The copy's flattened
-    leaf names are a prefix-subset of the max-occurrence names (indexing
-    is positional), so per-count decodes union cleanly."""
+def find_odo(root: Field) -> tuple[Field, Field] | None:
+    """Single-ODO convenience over find_odos(): None when the copybook
+    has no ODO, the (array, counter) pair when it has exactly one."""
+    odos = find_odos(root)
+    if not odos:
+        return None
+    if len(odos) > 1:
+        raise CopybookError(
+            "find_odo: copybook has multiple OCCURS DEPENDING ON items; "
+            "use find_odos"
+        )
+    return odos[0]
+
+
+def specialize_odo(root: Field, count: int | tuple | list) -> Field:
+    """A deep copy of the tree with each ODO array fixed at its count
+    (one int for the single-ODO case, a sequence aligned with
+    ``find_odos`` order for multiple arrays) and the layout recomputed —
+    fields AFTER an array shift left, exactly how a variable-length
+    mainframe record compacts on disk. ``count==0`` removes that array
+    entirely. The copy's flattened leaf names are a subset of the
+    max-occurrence names (indexing is positional), so per-count decodes
+    union cleanly."""
     import copy as _copy
 
+    counts = [count] if isinstance(count, int) else list(count)
     r = _copy.deepcopy(root)
 
-    def locate(parent: Field):
-        for idx, ch in enumerate(parent.children):
+    located: list[tuple[Field, Field]] = []  # (parent, odo-child)
+
+    def locate(parent: Field) -> None:
+        for ch in parent.children:
             if ch.depending_on:
-                return parent, idx, ch
+                located.append((parent, ch))
             if ch.is_group:
-                got = locate(ch)
-                if got:
-                    return got
-        return None
+                locate(ch)
 
-    found = locate(r)
-    if found is None:
+    locate(r)
+    if not located:
         raise CopybookError("specialize_odo: no OCCURS DEPENDING ON item")
-    parent, idx, f = found
-    if count <= 0:
-        parent.children.pop(idx)
-
-        # removing the array can leave childless ex-GROUPS, which _layout
+    located.sort(key=lambda pf: pf[1].offset)  # find_odos order
+    if len(located) != len(counts):
+        raise CopybookError(
+            f"specialize_odo: {len(counts)} counts for {len(located)} "
+            "OCCURS DEPENDING ON items"
+        )
+    removed = False
+    for (parent, f), c in zip(located, counts):
+        if c <= 0:
+            parent.children.remove(f)
+            removed = True
+        else:
+            f.occurs = int(c)
+            f.depending_on = None
+    if removed:
+        # removing an array can leave childless ex-GROUPS, which _layout
         # would reject as elementary-without-PIC — prune them. is_group is
         # derived from children, so an emptied group reads as a leaf: the
         # tell is "no children AND no PIC" (COMP-1/2 legally omit PIC)
@@ -489,9 +531,6 @@ def specialize_odo(root: Field, count: int) -> Field:
             g.children = kept
 
         prune(r)
-    else:
-        f.occurs = count
-        f.depending_on = None
     for top in r.children:
         top.offset = 0
         if top.is_group:
@@ -514,19 +553,25 @@ def decode_records_odo(
 ) -> pd.DataFrame:
     """Decode variable-layout (OCCURS DEPENDING ON) records.
 
-    Rows are grouped by their decoded counter value and each group
-    decodes against the layout specialized to that count — fields after
-    the array sit at compacted offsets, exactly as written on disk. Work
-    stays numpy-vectorized per distinct count (≤ max-occurrences layouts
-    total), never per record. Occurrences beyond a row's count (and
-    their debug columns) come back null; output columns and order equal
-    the max-occurrence flatten."""
-    found = find_odo(root)
-    if found is None:
+    Rows are grouped by their decoded counter-value VECTOR (one count
+    per ODO array, in layout order) and each group decodes against the
+    layout specialized to those counts — fields after an array sit at
+    compacted offsets, exactly as written on disk. A counter that sits
+    AFTER an earlier variable array is itself at a shifted offset, so
+    counters decode left-to-right with the cumulative per-row shift
+    applied. Work stays numpy-vectorized per distinct count vector,
+    never per record. Occurrences beyond a row's count (and their debug
+    columns) come back null; output columns and order equal the
+    max-occurrence flatten."""
+    from dataclasses import replace as _dc_replace
+
+    odos = find_odos(root)
+    if not odos:
         raise CopybookError("decode_records_odo: no OCCURS DEPENDING ON item")
-    odo, counter = found
     static_leaves = flatten(root)
-    counter_leaf = next(l for l in static_leaves if l.f is counter)
+    counter_leaves = [
+        next(l for l in static_leaves if l.f is counter) for _, counter in odos
+    ]
     col_order: list[str] = []
     for l in static_leaves:
         col_order.append(l.flat)
@@ -534,22 +579,34 @@ def decode_records_odo(
             col_order.append(l.flat + "__debug")
     if records.shape[0] == 0:
         return pd.DataFrame({c: pd.Series(dtype=object) for c in col_order})
-    cvals = decode_records(
-        records, [counter_leaf], ebcdic=ebcdic, trim=trim,
-        floating_point_format=floating_point_format, e2a=e2a,
-    )[counter_leaf.flat]
-    cnt = (
-        pd.to_numeric(cvals, errors="coerce")
-        .fillna(0)
-        .clip(0, odo.occurs)
-        .astype(int)
-        .to_numpy()
-    )
+    n = records.shape[0]
+    counts = np.zeros((n, len(odos)), dtype=np.int64)
+    for j, ((odo, _), cleaf) in enumerate(zip(odos, counter_leaves)):
+        # arrays laid out before this counter shift its position left
+        affect = [i for i in range(j) if odos[i][0].offset < cleaf.offset]
+        sh = np.zeros(n, dtype=np.int64)
+        for i in affect:
+            sh += (odos[i][0].occurs - counts[:, i]) * odos[i][0].size
+        for s in np.unique(sh):
+            rows = np.nonzero(sh == s)[0]
+            leaf_s = _dc_replace(cleaf, offset=cleaf.offset - int(s))
+            cvals = decode_records(
+                records[rows], [leaf_s], ebcdic=ebcdic, trim=trim,
+                floating_point_format=floating_point_format, e2a=e2a,
+            )[cleaf.flat]
+            counts[rows, j] = (
+                pd.to_numeric(cvals, errors="coerce")
+                .fillna(0)
+                .clip(0, odo.occurs)
+                .astype(np.int64)
+                .to_numpy()
+            )
+    uniq, inv = np.unique(counts, axis=0, return_inverse=True)
     parts: list[pd.DataFrame] = []
     idxs: list[np.ndarray] = []
-    for c in np.unique(cnt):
-        rows = np.nonzero(cnt == c)[0]
-        sub_leaves = flatten(specialize_odo(root, int(c)))
+    for gi, vec in enumerate(uniq):
+        rows = np.nonzero(inv == gi)[0]
+        sub_leaves = flatten(specialize_odo(root, [int(x) for x in vec]))
         pdf = decode_records(
             records[rows], sub_leaves, ebcdic=ebcdic, trim=trim,
             floating_point_format=floating_point_format, debug=debug, e2a=e2a,

@@ -169,7 +169,8 @@ def test_occurs_depending_envelope_violations():
         find_odo(parse_copybook(
             "01 R. 05 A OCCURS 1 TO 3 DEPENDING ON N PIC X. 05 N PIC 9(2)."
         ))
-    # two ODO items
+    # two ODO items: supported via find_odos, but the single-ODO
+    # convenience must refuse rather than silently pick one
     with pytest.raises(CopybookError):
         find_odo(parse_copybook(
             "01 R. 05 N PIC 9(2). 05 A OCCURS 1 TO 3 DEPENDING ON N PIC X. "
@@ -343,9 +344,14 @@ def test_odo_property_random_counts_roundtrip():
             buf += rec.encode("cp037")
             expected.append((c, items, f"T{i % 10:02d}"))
         read = _counter_reader(counter_leaf, True, e2a)
+        meta = [{
+            "reader": read,
+            "counter_end": counter_leaf.offset + counter.size,
+            "item_size": odo.size, "max_occurs": odo.occurs,
+            "min_occurs": odo.occurs_min, "affect": [],
+        }]
         recs, offsets = _frame_odo(
-            bytes(buf), lrecl, read, base_size, odo.size, odo.occurs,
-            base=0, emit_from=0,
+            bytes(buf), lrecl, meta, base_size, base=0, emit_from=0,
         )
         assert len(offsets) == len(counts)
         m = np.frombuffer(recs, np.uint8).reshape(len(offsets), lrecl)
@@ -1130,3 +1136,126 @@ def test_usage_keyword_not_rewritten_inside_field_names():
     )
     names = [c.name for c in root.children[0].children]
     assert names == ["PACKED_DECIMAL_FLAG", "COMPUTATIONAL_RATE"]
+
+
+# ------------------------------------------------- multiple / nested ODO
+
+MULTI_ODO_CPY = (
+    "01 R. 05 C1 PIC 9(2). "
+    "05 A1 OCCURS 0 TO 5 DEPENDING ON C1 PIC 9(3). "
+    "05 MID PIC X(2). "
+    "05 C2 PIC 9(2). "
+    "05 A2 OCCURS 0 TO 4 DEPENDING ON C2 PIC X(2). "
+    "05 TAIL PIC X(3)."
+)
+
+
+def _multi_rec(a1: list[int], a2: list[str], mid: str, tail: str) -> bytes:
+    s = (
+        f"{len(a1):02d}" + "".join(f"{v:03d}" for v in a1)
+        + mid
+        + f"{len(a2):02d}" + "".join(a2)
+        + tail
+    )
+    return s.encode("cp037")
+
+
+def test_read_cobol_multiple_odo_arrays(spark, tmp_path):
+    """Two ODO arrays in one record: the second counter sits AFTER the
+    first variable array, so its on-disk position shifts per record —
+    framing and decode must both apply the cumulative compaction."""
+    recs = [
+        _multi_rec([111, 222], ["ab", "cd", "ef"], "M1", "T01"),
+        _multi_rec([], ["zz"], "M2", "T02"),
+        _multi_rec([5, 6, 7, 8, 9], [], "M3", "T03"),
+        _multi_rec([42], ["qq", "rr", "ss", "tt"], "M4", "T04"),
+    ]
+    p = str(tmp_path / "multi.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    opts = {"copybook_content": MULTI_ODO_CPY, "schema_policy": "collapse_root"}
+    rows = read_cobol(spark, [item(p)], opts).orderBy("_src_offset").collect()
+    assert len(rows) == 4
+    assert rows[0].A1 == [111, 222] and rows[0].A2 == ["ab", "cd", "ef"]
+    assert rows[0].MID == "M1" and rows[0].TAIL == "T01"
+    assert rows[1].A1 == [] and rows[1].A2 == ["zz"] and rows[1].TAIL == "T02"
+    assert rows[2].A1 == [5, 6, 7, 8, 9] and rows[2].A2 == []
+    assert rows[3].A1 == [42] and rows[3].A2 == ["qq", "rr", "ss", "tt"]
+    # offsets: each record's true on-disk length
+    lens = [len(r) for r in recs]
+    assert [r._src_offset for r in rows] == [0, lens[0], lens[0] + lens[1],
+                                             lens[0] + lens[1] + lens[2]]
+    # resume past record 2: only later records emit
+    got = read_cobol(
+        spark, [WorkItem(p, lens[0] + lens[1], os.path.getsize(p))], opts
+    )
+    assert sorted(r.TAIL for r in got.collect()) == ["T03", "T04"]
+
+
+def test_read_cobol_odo_inside_group(spark, tmp_path):
+    """ODO array nested in a (non-repeating) group: the group's extent
+    varies; fields after the group shift left per record."""
+    cpy = (
+        "01 R. 05 HDR. 10 C PIC 9(2). "
+        "05 GRP. 10 A OCCURS 0 TO 3 DEPENDING ON C PIC X(2). "
+        "05 TAIL PIC X(2)."
+    )
+    recs = [
+        ("02" + "xy" + "zw" + "T1").encode("cp037"),
+        ("00" + "T2").encode("cp037"),
+        ("03" + "aabbcc" + "T3").encode("cp037"),
+    ]
+    p = str(tmp_path / "grp.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    rows = (
+        read_cobol(spark, [item(p)],
+                   {"copybook_content": cpy, "schema_policy": "collapse_root"})
+        .orderBy("_src_offset").collect()
+    )
+    assert [r.TAIL for r in rows] == ["T1", "T2", "T3"]
+    assert rows[0].GRP.A == ["xy", "zw"]
+    assert rows[1].GRP.A == []
+    assert rows[2].GRP.A == ["aa", "bb", "cc"]
+
+
+def test_find_odos_ambiguous_counter_raises():
+    """ADVICE r4: duplicate item names for a DEPENDING ON counter (legal
+    in COBOL with qualification) must raise, not bind first-seen."""
+    from kafka_connect_fs_spark.sources.copybook import find_odos
+
+    cpy = (
+        "01 R. 05 G1. 10 N PIC 9(2). 05 G2. 10 N PIC 9(2). "
+        "05 A OCCURS 1 TO 3 DEPENDING ON N PIC X."
+    )
+    with pytest.raises(CopybookError, match="ambiguous"):
+        find_odos(parse_copybook(cpy))
+
+
+def test_find_odos_odo_inside_repeating_group_raises():
+    from kafka_connect_fs_spark.sources.copybook import find_odos
+
+    cpy = (
+        "01 R. 05 N PIC 9(2). 05 G OCCURS 2. "
+        "10 A OCCURS 1 TO 3 DEPENDING ON N PIC X."
+    )
+    with pytest.raises(CopybookError, match="repeating group"):
+        find_odos(parse_copybook(cpy))
+
+
+def test_frame_odo_out_of_range_counter_stops_framing(spark, tmp_path, capfd):
+    """ADVICE r4: a counter outside [occurs_min, occurs] means the
+    stream is desynced — framing must stop at that record (emitting the
+    good prefix) and warn, not clamp and silently decode garbage."""
+    recs = [
+        _odo_record(2, [111, 222], "AB"),
+        # counter 9 > max 4: desync point
+        (f"{9:02d}" + "999" + "XX").encode("cp037"),
+        _odo_record(1, [333], "CD"),  # unreachable past the desync
+    ]
+    p = str(tmp_path / "bad.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    opts = {"copybook_content": ODO_CPY, "schema_policy": "collapse_root"}
+    rows = read_cobol(spark, [item(p)], opts).collect()
+    assert [r.CNT for r in rows] == [2]  # only the pre-desync record
