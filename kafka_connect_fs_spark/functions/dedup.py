@@ -62,11 +62,22 @@ def _widen_degenerate_scan(df: DataFrame, cap: int = 16) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         return df
-    if not files:
-        return df
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     threshold = min(target, cap)
+    if not files:
+        # non-file-backed input (in-memory frame, joined/derived plan):
+        # no scan metadata exists, so fall back to the plan's partition
+        # count — the .rdd conversion is planning-only here, and the
+        # input is already driver-materialized or post-shuffle, so the
+        # per-call cost the metadata path avoids for big scans doesn't
+        # apply
+        try:
+            if df.rdd.getNumPartitions() < threshold:
+                return df.repartition(target)
+        except Exception:
+            pass
+        return df
     if len(files) >= threshold:
         return df
     try:

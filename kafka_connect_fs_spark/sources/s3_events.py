@@ -235,19 +235,26 @@ class S3EventNotificationsPolicy:
         the batch commit — IngestConfig.discovery_ack_fn.
 
         With ``durable_paths`` (the engine passes the paths whose
-        watermarks just committed), only messages whose every announced
-        path is durable are deleted; the rest stay pending for a later
-        ack (the engine re-offers their capped-out files next trigger) or
+        watermarks just committed), a message is deleted once every one
+        of its announced paths has committed — across however many
+        triggers that takes: each call SHRINKS a pending entry by the
+        paths now durable (a multi-record message split by
+        files_per_trigger caps commits piecewise; without the shrink it
+        would never ack and only clear via a visibility-timeout
+        redelivery cycle). The rest stay pending for a later ack or
         queue redelivery after a crash. ``None`` acks everything (legacy
         / caller knows the whole batch committed)."""
         n = 0
         keep: dict[str, tuple[str, frozenset[str]]] = {}
         for mid, (handle, paths) in self._pending_acks.items():
-            if durable_paths is None or paths <= durable_paths:
+            remaining = (
+                frozenset() if durable_paths is None else paths - durable_paths
+            )
+            if not remaining:
                 self.queue.delete_message(handle)
                 n += 1
             else:
-                keep[mid] = (handle, paths)
+                keep[mid] = (handle, remaining)
         self._pending_acks = keep
         return n
 

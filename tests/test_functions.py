@@ -362,3 +362,22 @@ def test_lsh_and_ivf_tolerate_null_vectors_and_string_ids(spark):
     empty = corpus.limit(0)
     assert lsh_topk(queries, empty, k=3).count() == 0
     assert ivf_topk(queries, empty, k=3).count() == 0
+
+
+def test_widen_degenerate_inmemory_input_repartitions(spark):
+    """ADVICE r4: a non-file-backed input (in-memory/derived plan) with
+    1-2 partitions must still widen before the shingle explode — the
+    inputFiles() metadata path sees no files, so the plan partition
+    count is the fallback signal."""
+    from kafka_connect_fs_spark.functions.dedup import _widen_degenerate_scan
+
+    few = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id int, text string"
+    ).coalesce(1)
+    widened = _widen_degenerate_scan(few)
+    assert widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # already-parallel in-memory input passes through untouched
+    wide = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], "doc_id int, text string"
+    ).repartition(spark.sparkContext.defaultParallelism)
+    assert _widen_degenerate_scan(wide) is wide

@@ -872,3 +872,67 @@ def test_cow_write_salt_accepted(spark, tmp_path):
     t.merge(edf(spark, rows), "b1", write_salt=4)
     got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
     assert got == {("hot", k): f"v{57 + k}" for k in range(3)}
+
+
+def test_xxhash64_bucket_property_driver_equals_spark(spark):
+    """VERDICT r4 #6: read_key trusts a driver-side reimplementation of
+    the bucket hash — property-pin driver bucket == Spark bucket over
+    random keys so twin drift can't silently return empty lookups."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from kafka_connect_fs_spark.functions.hashing import spark_xxhash64
+
+    n_buckets = 16
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(st.text(min_size=0, max_size=40), min_size=1, max_size=40),
+        st.lists(st.integers(-(2**31), 2**31 - 1), min_size=1, max_size=40),
+        st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40),
+    )
+    def check(strs, ints, longs):
+        df = spark.createDataFrame(
+            [(s,) for s in strs], "k string"
+        ).select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b"))
+        got = [r.b for r in df.collect()]
+        assert got == [spark_xxhash64(s) % n_buckets for s in strs]
+
+        di = spark.createDataFrame(
+            [(i,) for i in ints], "k int"
+        ).select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b"))
+        assert [r.b for r in di.collect()] == [
+            spark_xxhash64(i, 4) % n_buckets for i in ints
+        ]
+
+        dl = spark.createDataFrame(
+            [(i,) for i in longs], "k long"
+        ).select(F.pmod(F.xxhash64("k"), F.lit(n_buckets)).alias("b"))
+        assert [r.b for r in dl.collect()] == [
+            spark_xxhash64(i, 8) % n_buckets for i in longs
+        ]
+
+    check()
+
+
+def test_read_key_property_random_keys_found(spark, tmp_path):
+    """End-to-end pin: for random string keys written through merge(),
+    read_key() must find every key (bucket twin + footer-stat pruning
+    both on the path)."""
+    import random
+
+    rng = random.Random(4242)
+    keys = list({f"c{rng.randrange(10**9)}-{i}" for i in range(60)})
+    t = LakeTable.create(
+        spark, str(tmp_path / "pk"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=8, merge_mode="mor",
+    )
+    df = spark.createDataFrame(
+        [(k, i % 3, f"txt-{k}", float(i)) for i, k in enumerate(keys)],
+        "conv_id string, turn_idx int, text string, ts double",
+    )
+    t.merge(df, batch_id="pk1")
+    for k in rng.sample(keys, 12):
+        got = t.read_key(k).collect()
+        assert {r.conv_id for r in got} == {k}
+        assert all(r.text == f"txt-{k}" for r in got)

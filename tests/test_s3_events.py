@@ -449,3 +449,35 @@ def test_ack_mode_after_commit_defers_deletes():
     assert pol.ack_pending() == 2
     assert sorted(q.deleted) == ["rh0", "rh1"]
     assert pol.ack_pending() == 0  # idempotent / drained
+
+
+def test_ack_pending_shrinks_multirecord_message_across_triggers():
+    """ADVICE r4: a multi-record message whose paths commit in DIFFERENT
+    triggers (split by files_per_trigger caps) must ack once the LAST
+    path commits — each ack_pending call shrinks the pending entry by
+    the now-durable paths instead of demanding one superset commit."""
+    body = json.dumps({
+        "Records": [
+            {
+                "eventVersion": "2.1",
+                "eventSource": "aws:s3",
+                "eventName": "ObjectCreated:Put",
+                "s3": {"bucket": {"name": "b"},
+                       "object": {"key": k, "size": 7}},
+            }
+            for k in ("data/a.jsonl", "data/b.jsonl")
+        ]
+    })
+    q = FakeQueue([body])
+    sizes = {"s3://b/data/a.jsonl": 7, "s3://b/data/b.jsonl": 7}
+    pol = S3EventNotificationsPolicy(
+        q, "s3://b/data", stat_fn=fake_stat(sizes), ack_mode="after_commit",
+    )
+    got = pol.poll()
+    assert len(got) == 2 and not q.deleted
+    # trigger 1 commits only path a: message not deleted, entry shrinks
+    assert pol.ack_pending({"s3://b/data/a.jsonl"}) == 0
+    assert not q.deleted
+    # trigger 2 commits path b: the remaining set empties -> delete
+    assert pol.ack_pending({"s3://b/data/b.jsonl"}) == 1
+    assert q.deleted == ["rh0"]
