@@ -711,30 +711,46 @@ class LakeTable:
             .parquet(cdir)
         )
         added = self._scan_written(cdir, cdir_rel)
-        commit = Commit(
-            version=version,
-            batch_id=batch_id,
-            added=added,
-            removed=[],
-            schema_json=self._union_schema_json(
-                st.schema_json, src.drop(_BUCKET_COL).schema
-            ),
-            app_metadata=app_metadata or {},
-            metrics={
-                "mode": "mor",
-                "affected_buckets": len({a["bucket"] for a in added}),
-                "rows_written": sum(a["rows"] for a in added),
-                "files_added": len(added),
-                "files_removed": 0,
-            },
+        # retry through commit races: a separate maintenance process
+        # (compaction/expiry) landing a commit between this merge's state
+        # read and its commit write is the NORMAL deployment, not an
+        # error. A MoR delta only ADDS files and is version-independent,
+        # so re-attempting at the new head is always safe — only the
+        # schema union must be recomputed against the new head's schema
+        # (the concurrent commit may itself have evolved it).
+        for _attempt in range(4):
+            commit = Commit(
+                version=version,
+                batch_id=batch_id,
+                added=added,
+                removed=[],
+                schema_json=self._union_schema_json(
+                    st.schema_json, src.drop(_BUCKET_COL).schema
+                ),
+                app_metadata=app_metadata or {},
+                metrics={
+                    "mode": "mor",
+                    "affected_buckets": len({a["bucket"] for a in added}),
+                    "rows_written": sum(a["rows"] for a in added),
+                    "files_added": len(added),
+                    "files_removed": 0,
+                    "commit_retries": _attempt,
+                },
+            )
+            if precommit_check is not None:
+                # the caller's consistency gate: runs AFTER the data write,
+                # BEFORE the commit becomes visible — raising here leaves
+                # only vacuum-able orphans
+                precommit_check()
+            try:
+                self._write_commit(commit)
+                return commit
+            except ConcurrentCommitError:
+                st = self._state_full()
+                version = st.version + 1
+        raise ConcurrentCommitError(
+            "merge commit lost the race 4 times in a row"
         )
-        if precommit_check is not None:
-            # the caller's consistency gate: runs AFTER the data write,
-            # BEFORE the commit becomes visible — raising here leaves only
-            # vacuum-able orphans
-            precommit_check()
-        self._write_commit(commit)
-        return commit
 
     def _promoted_footer_schema(self, paths: Sequence[str]) -> T.StructType:
         """Merged read schema straight from the parquet footers, widening
@@ -784,6 +800,7 @@ class LakeTable:
         app_metadata: dict | None,
         write_salt: int = 1,
         precommit_check=None,
+        _restarts: int = 0,
     ) -> Commit:
         # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
         affected = sorted(
@@ -845,32 +862,57 @@ class LakeTable:
         )
 
         added = self._scan_written(cdir, cdir_rel)
-        commit = Commit(
-            version=version,
-            batch_id=batch_id,
-            added=added,
-            removed=old_files,
-            # union with the PREVIOUS table schema: the target read covered
-            # only affected buckets, so columns living solely in untouched
-            # buckets' files must not vanish from the tracked schema
-            schema_json=self._union_schema_json(
-                st.schema_json, resolved.drop(_BUCKET_COL).schema
-            ),
-            app_metadata=app_metadata or {},
-            metrics={
-                "affected_buckets": len(affected),
-                "rows_written": sum(a["rows"] for a in added),
-                "files_added": len(added),
-                "files_removed": len(old_files),
-            },
+        # retry through commit races (same deployment reality as the MoR
+        # path: a separate maintenance process commits concurrently). A
+        # CoW rewrite REMOVES old_files, so re-attempting at the new head
+        # is safe only while those inputs are all still live; if a
+        # concurrent commit replaced them (compaction of the same
+        # buckets), this rewrite is stale — recompute the whole merge
+        # from a fresh snapshot (bounded; the orphaned write is
+        # vacuum-able).
+        for _attempt in range(4):
+            commit = Commit(
+                version=version,
+                batch_id=batch_id,
+                added=added,
+                removed=old_files,
+                # union with the PREVIOUS table schema: the target read
+                # covered only affected buckets, so columns living solely
+                # in untouched buckets' files must not vanish from the
+                # tracked schema
+                schema_json=self._union_schema_json(
+                    st.schema_json, resolved.drop(_BUCKET_COL).schema
+                ),
+                app_metadata=app_metadata or {},
+                metrics={
+                    "affected_buckets": len(affected),
+                    "rows_written": sum(a["rows"] for a in added),
+                    "files_added": len(added),
+                    "files_removed": len(old_files),
+                    "commit_retries": _attempt,
+                },
+            )
+            if precommit_check is not None:
+                # the caller's consistency gate: runs AFTER the data
+                # write, BEFORE the commit becomes visible — raising here
+                # leaves only vacuum-able orphans
+                precommit_check()
+            try:
+                self._write_commit(commit)
+                return commit
+            except ConcurrentCommitError:
+                st = self._state_full()
+                if not set(old_files) <= set(st.live):
+                    if _restarts >= 3:
+                        raise
+                    return self._merge_persisted(
+                        src, batch_id, app_metadata, write_salt,
+                        precommit_check, _restarts + 1,
+                    )
+                version = st.version + 1
+        raise ConcurrentCommitError(
+            "merge commit lost the race 4 times in a row"
         )
-        if precommit_check is not None:
-            # the caller's consistency gate: runs AFTER the data write,
-            # BEFORE the commit becomes visible — raising here leaves only
-            # vacuum-able orphans
-            precommit_check()
-        self._write_commit(commit)
-        return commit
 
     def _scan_written(self, cdir: str, cdir_rel: str) -> list[dict]:
         """Enumerate data files of a write with per-file row counts (from
@@ -1060,7 +1102,11 @@ class LakeTable:
                 added=added,
                 removed=old_files,
                 schema_json=None,
-                metrics=metrics,
+                # retries surface in the log: a separate maintenance
+                # process racing a live ingest loop is the EXPECTED
+                # deployment, and operators (and the concurrency soak)
+                # need to see the races actually happening
+                metrics={**metrics, "commit_retries": _attempt},
             )
             try:
                 self._write_commit(commit)

@@ -1200,6 +1200,15 @@ def read_sequence_file(
             value_type = value_type or vt
             break
     if key_type is None or value_type is None:
+        # Only reachable for Writable classes OUTSIDE _WRITABLE_TO_SPARK —
+        # compound or user-defined Writables (MapWritable, ArrayWritable,
+        # custom implementations) whose record wire format is defined by
+        # their own readFields() and therefore CANNOT be decoded
+        # driver-side from bytes; the JVM deserializer is the only
+        # decoder, so one probe job per READ CALL (not per file) is the
+        # floor here. Every standard primitive Writable resolves via the
+        # header sniff above with zero jobs
+        # (test_sequence_file_inference_runs_zero_jobs).
         probe_key, probe_val = None, None
         for w in items:
             try:

@@ -936,3 +936,68 @@ def test_read_key_property_random_keys_found(spark, tmp_path):
         got = t.read_key(k).collect()
         assert {r.conv_id for r in got} == {k}
         assert all(r.text == f"txt-{k}" for r in got)
+
+
+def test_mor_merge_retries_through_concurrent_commit(spark, tmp_path):
+    """A maintenance process committing between a merge's state read and
+    its commit write is the NORMAL two-process deployment: the MoR merge
+    must re-attempt at the new head (delta files are version-
+    independent), not fail the batch."""
+    root = str(tmp_path / "race_mor")
+    t = LakeTable.create(spark, root, keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=4, merge_mode="mor")
+    df_a = spark.createDataFrame(
+        [(f"c{i}", 0, f"a{i}", 1.0) for i in range(8)],
+        "conv_id string, turn_idx int, text string, ts double")
+    df_b = spark.createDataFrame(
+        [(f"d{i}", 0, f"b{i}", 2.0) for i in range(8)], df_a.schema)
+
+    other = LakeTable(spark, root)
+    fired = []
+
+    def steal_version():
+        if not fired:  # only on the FIRST attempt: the retry must win
+            fired.append(1)
+            other.merge(df_b, batch_id="thief")
+
+    c = t.merge(df_a, batch_id="victim", precommit_check=steal_version)
+    assert c.metrics["commit_retries"] == 1
+    got = {r.conv_id for r in t.read().collect()}
+    assert len(got) == 16  # both batches fully present
+    versions = [h["version"] for h in t.history()]
+    assert versions == sorted(set(versions))  # no clobbered versions
+
+
+def test_cow_merge_restarts_when_inputs_compacted_away(spark, tmp_path):
+    """CoW race where the concurrent commit was a COMPACTION of the same
+    buckets: the rewrite's inputs are no longer live, so the merge must
+    recompute from a fresh snapshot (not resurrect replaced files)."""
+    root = str(tmp_path / "race_cow")
+    t = LakeTable.create(spark, root, keys=["conv_id", "turn_idx"],
+                         ts_col="ts", n_buckets=4, merge_mode="mor")
+    seed = spark.createDataFrame(
+        [(f"c{i}", 0, f"old{i}", 1.0) for i in range(12)],
+        "conv_id string, turn_idx int, text string, ts double")
+    t.merge(seed, batch_id="seed1")
+    t.merge(seed.withColumn("ts", F.lit(2.0)), batch_id="seed2")
+
+    cow = LakeTable(spark, root)
+    cow.merge_mode = "cow"
+    other = LakeTable(spark, root)
+    fired = []
+
+    def compact_under_us():
+        if not fired:
+            fired.append(1)
+            assert other.compact(min_files_per_bucket=2) is not None
+
+    upd = spark.createDataFrame(
+        [(f"c{i}", 0, f"new{i}", 9.0) for i in range(12)], seed.schema)
+    c = cow.merge(upd, batch_id="cow1", precommit_check=compact_under_us)
+    assert c is not None
+    got = {r.conv_id: r.text for r in t.read().collect()}
+    assert got == {f"c{i}": f"new{i}" for i in range(12)}
+    # the replaced (compacted-away) files must not have been resurrected
+    live, _, _ = t._state()
+    removed = {p for h in t.history() for p in h["removed"]}
+    assert not (set(live) & removed)
