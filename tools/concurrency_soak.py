@@ -98,6 +98,12 @@ def run_soak(
     mlog = os.path.join(base, "maintenance.jsonl")
     merr = os.path.join(base, "maintenance.err")
 
+    from pyspark.sql import SparkSession
+
+    # getOrCreate() REUSES a caller's active session (e.g. the pytest
+    # fixture) — stopping a session we didn't create would kill every
+    # later test in that process
+    owns_session = SparkSession.getActiveSession() is None
     spark = get_spark("soak_ingest", cores=cores, shuffle_partitions=cores)
     engine = IngestEngine(
         spark,
@@ -198,7 +204,8 @@ def run_soak(
         "wall_seconds": round(wall, 1),
         "work_dir": base,
     }
-    spark.stop()
+    if owns_session:
+        spark.stop()
     if work_dir is None and state_match:
         shutil.rmtree(base, ignore_errors=True)
         result["work_dir"] = "(removed)"
