@@ -47,15 +47,17 @@ def _widen_degenerate_scan(df: DataFrame, cap: int = 16) -> DataFrame:
     """Repartition ONLY a degenerate few-SPLIT scan (a small 1-file table
     scans as ~one task and serializes the downstream explode).
 
-    The decision uses driver-side scan metadata (``df.inputFiles()`` from
-    the plan's FileIndex, plus file sizes for the few-file case) — never
-    ``df.rdd``, which would force a logical→RDD conversion per call. A
-    single LARGE splittable file already fans out by maxPartitionBytes,
-    so splits are estimated from bytes (non-splittable .gz/.bz2 count as
-    one split each) and a big file is NOT needlessly shuffled. Non-file
-    inputs (in-memory test frames) and inputs with ≥cap files pass
-    through untouched, so at real scale this is metadata-only and
-    plan-neutral."""
+    For FILE-BACKED inputs the decision uses driver-side scan metadata
+    (``df.inputFiles()`` from the plan's FileIndex, plus file sizes for
+    the few-file case) — no ``df.rdd`` conversion on that path. A single
+    LARGE splittable file already fans out by maxPartitionBytes, so
+    splits are estimated from bytes (non-splittable .gz/.bz2 count as one
+    split each) and a big file is NOT needlessly shuffled. Inputs with
+    ≥cap files pass through untouched, so at real scale this is
+    metadata-only and plan-neutral. Non-file inputs (in-memory frames,
+    joined/derived plans) have no scan metadata, so ONLY they fall back
+    to a ``df.rdd.getNumPartitions()`` probe (planning-only) and are
+    widened when fewer than ``threshold`` partitions."""
     import math
 
     try:

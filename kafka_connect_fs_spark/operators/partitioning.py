@@ -19,7 +19,8 @@ cluster sizes.
 .Murmur3Hash`` on a single non-null IntegerType input (Murmur3_x86_32 of
 the 4-byte int, seed 42) — the same function Spark exposes as ``F.hash``
 and uses inside ``HashPartitioning.partitionIdExpression``. Parity with
-``F.hash`` is pinned by test_plans.py so an upstream change fails loudly
+``F.hash`` is pinned by tests/test_partitioning.py
+(test_murmur3_matches_spark_hash) so an upstream change fails loudly
 rather than silently degrading placement back to the birthday regime.
 """
 

@@ -747,6 +747,14 @@ class LakeTable:
                 return commit
             except ConcurrentCommitError:
                 st = self._state_full()
+                # split-brain guard: if the racing writer committed THIS
+                # batch_id (two daemons replaying the same batch), honor
+                # the exactly-once-per-batch_id log invariant — return the
+                # existing commit instead of logging the batch twice; this
+                # write's files are vacuum-able orphans
+                existing = self.get_commit_by_batch_id(batch_id)
+                if existing is not None:
+                    return existing
                 version = st.version + 1
         raise ConcurrentCommitError(
             "merge commit lost the race 4 times in a row"
@@ -902,6 +910,11 @@ class LakeTable:
                 return commit
             except ConcurrentCommitError:
                 st = self._state_full()
+                # split-brain guard (same as the MoR path): a racing writer
+                # that committed THIS batch_id wins — no duplicate log entry
+                existing = self.get_commit_by_batch_id(batch_id)
+                if existing is not None:
+                    return existing
                 if not set(old_files) <= set(st.live):
                     if _restarts >= 3:
                         raise

@@ -70,9 +70,6 @@ _ARROW_SCHEMA = pa.schema(
 # delta files carry one extra column: removed=True rows are tombstones
 _DELTA_SCHEMA = _ARROW_SCHEMA.append(pa.field("removed", pa.bool_()))
 
-_ROW_FIELDS = [f.name for f in _ARROW_SCHEMA]
-
-
 def _fsync_path(path: str) -> None:
     fd = os.open(path, os.O_RDONLY)
     try:
@@ -165,13 +162,49 @@ class WatermarkStore:
         return rows
 
     def load(self) -> DataFrame:
-        """Spark view of the current state (for lineage/monitoring queries)."""
-        rows = self.load_dict()
-        ordered = [
-            tuple(r[f] for f in _ROW_FIELDS)
-            for r in sorted(rows.values(), key=lambda r: r["path"])
-        ]
-        return self.spark.createDataFrame(ordered, WATERMARK_SCHEMA)
+        """Spark view of the current state (for lineage/monitoring queries).
+
+        Reads the base snapshot + delta parquet files relationally (lazy
+        scan + one keep-last window on ``path``) instead of shipping the
+        whole tracked-file set through createDataFrame — at the design
+        point (~10^6 tracked files) the driver-side materialization is
+        seconds of Py4J serialization per call."""
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        vs = self._versions()
+        if not vs:
+            return self.spark.createDataFrame([], WATERMARK_SCHEMA)
+        meta = self._marker(vs[-1])
+        base_seq = meta.get("base_seq", vs[-1])
+        cols = [f.name for f in WATERMARK_SCHEMA.fields]
+        parts: list[DataFrame] = []
+        if base_seq >= 0:
+            single = self._base_file(base_seq)
+            src = single if os.path.exists(single) else os.path.dirname(single)
+            parts.append(
+                self.spark.read.parquet(src)
+                .select(*cols)
+                .withColumn("removed", F.lit(False))
+                .withColumn("_ord", F.lit(-1))
+            )
+        for i, dseq in enumerate(meta.get("delta_seqs", [])):
+            parts.append(
+                self.spark.read.parquet(self._delta_file(dseq))
+                .select(*cols, "removed")
+                .withColumn("_ord", F.lit(i))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], WATERMARK_SCHEMA)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        w = Window.partitionBy("path").orderBy(F.desc("_ord"))
+        return (
+            union.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & ~F.col("removed"))
+            .select(*cols)
+        )
 
     def commit(
         self,
@@ -189,7 +222,10 @@ class WatermarkStore:
         """
         import datetime as dt
 
-        rows = self.load_dict()  # live dict, mutated in place below
+        # live dict — READ-ONLY until the marker is durably linked below;
+        # mutating it earlier would leave the in-process view diverged from
+        # disk if the data write / fsync / link fails mid-commit
+        rows = self.load_dict()
         vs = self._versions()
         prev = self._marker(vs[-1]) if vs else {}
         prev_deltas = list(prev.get("delta_seqs", []))
@@ -213,9 +249,7 @@ class WatermarkStore:
                 "batch_seq": int(batch_seq),
                 "updated_at": now,
             }
-        for p in removed_paths or []:
-            rows.pop(p, None)
-        rows.update(upserts)
+        dropped = set(removed_paths or [])
 
         n_delta = len(removed) + len(upserts)
         compact = (
@@ -226,7 +260,11 @@ class WatermarkStore:
         if compact:
             base_file = self._base_file(batch_seq)
             os.makedirs(os.path.dirname(base_file), exist_ok=True)
-            ordered = sorted(rows.values(), key=lambda r: r["path"])
+            # merged view without touching the live dict (compaction is
+            # O(live) by design, so the copy adds no asymptotic cost)
+            merged = {p: r for p, r in rows.items() if p not in dropped}
+            merged.update(upserts)
+            ordered = sorted(merged.values(), key=lambda r: r["path"])
             pq.write_table(
                 pa.Table.from_pylist(list(ordered), schema=_ARROW_SCHEMA),
                 base_file,
@@ -276,6 +314,11 @@ class WatermarkStore:
         # writer won; no window where the marker exists empty
         os.link(tmp, marker)
         os.unlink(tmp)
+        # commit is durable — NOW publish to the in-process live dict
+        # (O(touched) mutation, no full-dict copy per batch)
+        for p in dropped:
+            rows.pop(p, None)
+        rows.update(upserts)
         self._cache = (batch_seq, rows)
         self._gc()
 

@@ -88,6 +88,54 @@ def test_watermark_remove_paths(spark, tmp_path):
     assert wm.load().count() == 0
 
 
+def test_watermark_failed_commit_leaves_cache_matching_disk(spark, tmp_path):
+    """A commit that dies before its marker is durable must not leak its
+    updates/removals into the in-process live dict — the daemon keeps
+    running after a failed batch (engine.run catches and continues), and a
+    diverged cache would serve never-committed watermarks until restart."""
+    import pyarrow.parquet as pq_mod
+
+    import kafka_connect_fs_spark.sources.watermarks as wmod
+
+    wm = WatermarkStore(spark, str(tmp_path / "wm"))
+    wm.commit(
+        [
+            {"path": "/f1", "committed_offset": 10, "file_size": 20, "eof": False},
+            {"path": "/f2", "committed_offset": 5, "file_size": 5, "eof": True},
+        ],
+        0,
+    )
+    before = {p: dict(r) for p, r in wm.load_dict().items()}
+
+    orig = pq_mod.write_table
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    wmod.pq.write_table = boom
+    try:
+        with pytest.raises(OSError):
+            wm.commit(
+                [{"path": "/f1", "committed_offset": 20, "file_size": 20, "eof": True}],
+                1,
+                removed_paths=["/f2"],
+            )
+    finally:
+        wmod.pq.write_table = orig
+
+    after = {p: dict(r) for p, r in wm.load_dict().items()}
+    assert after == before  # in-process view still matches durable state
+    assert wm.last_seq() == 0
+    # a fresh store (process restart) agrees
+    fresh = WatermarkStore(spark, str(tmp_path / "wm"))
+    assert {p: dict(r) for p, r in fresh.load_dict().items()} == before
+    # and the store still works after the failure
+    wm.commit(
+        [{"path": "/f1", "committed_offset": 20, "file_size": 20, "eof": True}], 1
+    )
+    assert wm.load_dict()["/f1"]["committed_offset"] == 20
+
+
 # ----------------------------------------------------------------- triggers
 
 

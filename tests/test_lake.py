@@ -373,6 +373,43 @@ def test_compaction_retries_after_losing_commit_race(spark, mor_table):
     assert got[("c1", 0)] == "v2" and got[("c9", 9)] == "concurrent"
 
 
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_merge_race_same_batch_id_commits_once(spark, tmp_path, mode):
+    """Split-brain daemons replaying the SAME batch (operator restarts the
+    ingest job while the old process is mid-MERGE): the loser of the commit
+    race must return the winner's existing commit, not log batch_id twice —
+    the exactly-once-per-batch_id replay guard holds under dual writers."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "sb"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode=mode,
+    )
+    t.merge(edf(spark, [ev("c1", 0, "base", 1)]), "b0")
+
+    orig = t._write_commit
+    raced = {"done": False}
+
+    def race_once(commit):
+        if not raced["done"]:
+            raced["done"] = True
+            # the OTHER daemon lands the same batch first
+            t2 = type(t)(spark, t.root)
+            t2.merge(edf(spark, [ev("c1", 1, "winner", 50)]), "dup")
+        return orig(commit)
+
+    t._write_commit = race_once
+    try:
+        c = t.merge(edf(spark, [ev("c1", 1, "winner", 50)]), "dup")
+    finally:
+        t._write_commit = orig
+    assert raced["done"]
+    history = t.history()
+    dup_commits = [h for h in history if h.get("batch_id") == "dup"]
+    assert len(dup_commits) == 1
+    assert c.version == dup_commits[0]["version"]
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got == {("c1", 0): "base", ("c1", 1): "winner"}
+
+
 def test_mor_expire_tombstones_does_not_resurrect(spark, mor_table):
     t = mor_table
     t.merge(edf(spark, [ev("c1", 0, "body", 1)]), "b1")

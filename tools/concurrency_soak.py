@@ -163,7 +163,19 @@ def run_soak(
                 break
     finally:
         open(stop_flag, "w").close()
-        compactor.wait(timeout=120)
+        # don't let a slow final compaction run (cold spark-submit JVM +
+        # multi-bucket rewrite) raise TimeoutExpired out of the finally
+        # block — that would mask the soak body's real failure and leave
+        # the loop spawning JVMs against a dir we're about to tear down
+        try:
+            compactor.wait(timeout=120)
+        except subprocess.TimeoutExpired:
+            compactor.terminate()
+            try:
+                compactor.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                compactor.kill()
+                compactor.wait()
     wall = time.monotonic() - t0
 
     # fresh handle: include every commit either process landed
