@@ -118,12 +118,17 @@ def _iso(ts):
 class Commit:
     version: int
     batch_id: str | None
-    added: list[dict]  # [{path, bucket, rows}]
+    added: list[dict]  # [{path, bucket, scheme, rows, …footer stats}]
     removed: list[str]
     schema_json: str | None
     renames: dict[str, str] = field(default_factory=dict)
     app_metadata: dict = field(default_factory=dict)
     metrics: dict = field(default_factory=dict)
+    # bucket-spec evolution (Iceberg partition-spec evolution analog): a
+    # metadata-only commit carrying n_buckets switches the CURRENT write
+    # scheme; files keep the scheme they were written under (per-file
+    # "scheme" in added entries), so existing data stays valid
+    n_buckets: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(self.__dict__, sort_keys=True)
@@ -142,11 +147,12 @@ class _State:
     schema_json: str | None = None
     renames: dict = field(default_factory=dict)
     batch_ids: dict = field(default_factory=dict)  # batch_id -> version
+    n_buckets: int | None = None  # current scheme (None = table default)
 
     def copy(self) -> "_State":
         return _State(
             self.version, dict(self.live), self.schema_json,
-            dict(self.renames), dict(self.batch_ids),
+            dict(self.renames), dict(self.batch_ids), self.n_buckets,
         )
 
 
@@ -179,10 +185,18 @@ class LakeTable:
             meta = json.load(f)
         self.keys: list[str] = meta["keys"]
         self.ts_col: str = meta["ts_col"]
+        # create-time scheme; the CURRENT scheme may differ after
+        # set_n_buckets — self.n_buckets tracks it, refreshed on every
+        # state replay (each operation snapshots state before acting)
+        self._base_n_buckets: int = meta["n_buckets"]
         self.n_buckets: int = meta["n_buckets"]
         self.merge_mode: str = meta.get("merge_mode", "cow")
         self._mem: _State | None = None
         self._commit_cache: dict[str, Commit] = {}
+        # eager replay on open: a table reopened after set_n_buckets must
+        # expose the EVOLVED scheme immediately (O(checkpoint + suffix),
+        # same cost the first operation would pay anyway)
+        self._state_full()
 
     # ---------------------------------------------------------------- create
     @staticmethod
@@ -259,6 +273,8 @@ class LakeTable:
         st.renames.update(c.renames or {})
         if c.batch_id is not None:
             st.batch_ids[c.batch_id] = c.version
+        if c.n_buckets:
+            st.n_buckets = c.n_buckets
         st.version = c.version
 
     def _ckpt_path(self, version: int) -> str:
@@ -286,6 +302,8 @@ class LakeTable:
                     version=raw["version"], live=raw["live"],
                     schema_json=raw["schema_json"], renames=raw["renames"],
                     batch_ids=raw["batch_ids"],
+                    # .get: checkpoints written before bucket-spec evolution
+                    n_buckets=raw.get("n_buckets"),
                 )
             except (OSError, json.JSONDecodeError, KeyError):
                 continue  # torn/partial checkpoint → try the previous one
@@ -315,6 +333,7 @@ class LakeTable:
             st = base
         if at_version is None and (self._mem is None or st.version >= self._mem.version):
             self._mem = st
+            self.n_buckets = st.n_buckets or self._base_n_buckets
         return st
 
     def _state(
@@ -355,7 +374,7 @@ class LakeTable:
                 {
                     "version": st.version, "live": st.live,
                     "schema_json": st.schema_json, "renames": st.renames,
-                    "batch_ids": st.batch_ids,
+                    "batch_ids": st.batch_ids, "n_buckets": st.n_buckets,
                 },
                 f,
             )
@@ -374,10 +393,15 @@ class LakeTable:
                 pass
 
     # ----------------------------------------------------------------- read
-    def _bucket_expr(self, col: str) -> F.Column:
+    def _bucket_expr(self, col: str, n: int | None = None) -> F.Column:
         # xxhash64 is a fixed-seed deterministic 64-bit hash (same value on
-        # every executor / run), so bucket assignment is stable across commits.
-        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
+        # every executor / run), so bucket assignment is stable across
+        # commits. ``n`` pins the scheme captured by the caller (bucket-spec
+        # evolution: the expr must match the scheme the files get TAGGED
+        # with even if a concurrent set_n_buckets lands mid-operation).
+        return F.pmod(
+            F.xxhash64(F.col(col)), F.lit(n or self.n_buckets)
+        ).cast("int")
 
     def _read_files(
         self, relpaths: Sequence[str], renames: dict | None = None
@@ -474,8 +498,14 @@ class LakeTable:
         The twin must hash with the WIDTH of the key column: Spark's
         XxHash64 runs Byte/Short/Int/Boolean through its 4-byte hashInt
         path and Long through hashLong, so an int-keyed table buckets
-        differently than a bigint-keyed one."""
-        bucket = spark_xxhash64(key_value, self._key_int_width()) % self.n_buckets
+        differently than a bigint-keyed one.
+
+        Bucket-spec evolution: each file is pruned under the scheme it
+        was WRITTEN under (per-file ``scheme`` in the manifest) — after
+        ``set_n_buckets`` the lookup stays exact across old- and
+        new-scheme files alike."""
+        h = spark_xxhash64(key_value, self._key_int_width())
+
         def _covers(a: dict) -> bool:
             # second-level pruning: per-file [key_min, key_max] footer
             # stats (tight after key-clustered compaction) skip the
@@ -491,7 +521,10 @@ class LakeTable:
 
         live, _, _ = self._state()
         files = [
-            p for p, a in live.items() if a["bucket"] == bucket and _covers(a)
+            p
+            for p, a in live.items()
+            if a["bucket"] == h % a.get("scheme", self._base_n_buckets)
+            and _covers(a)
         ]
         df = self._read_files(files)
         if df is None:
@@ -653,17 +686,23 @@ class LakeTable:
                 src = src.withColumn(
                     c, F.lit(0).cast("long") if c.endswith("offset") else F.lit("")
                 )
-        src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+        # refresh + capture the CURRENT bucket scheme once: the stamp, the
+        # write placement and the manifest scheme tag must all agree even
+        # if a concurrent set_n_buckets lands mid-merge
+        self._state_full()
+        nb = self.n_buckets
+        src = src.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0], nb))
         if self.merge_mode == "mor":
             return self._merge_mor(
-                src, batch_id, app_metadata, write_salt, precommit_check
+                src, batch_id, app_metadata, write_salt, precommit_check, nb
             )
         # persist: the source feeds two jobs (bucket discovery + the merge
         # write) — don't recompute the upstream parse twice
         src = src.persist()
         try:
             return self._merge_persisted(
-                src, batch_id, app_metadata, write_salt, precommit_check
+                src, batch_id, app_metadata, write_salt, precommit_check,
+                scheme=nb,
             )
         finally:
             src.unpersist()
@@ -675,6 +714,7 @@ class LakeTable:
         app_metadata: dict | None,
         write_salt: int = 1,
         precommit_check=None,
+        scheme: int | None = None,
     ) -> Commit:
         """Merge-on-read apply: ONE bucket-partitioned delta write, no
         target read, no rewrite — write amplification is O(batch) however
@@ -682,6 +722,7 @@ class LakeTable:
         at steady state is the whole table per micro-batch). Readers
         resolve LWW across files; compact() folds deltas down."""
         st = self._state_full()
+        nb = scheme or self.n_buckets
         version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
@@ -694,10 +735,10 @@ class LakeTable:
                 F.xxhash64(*[F.col(k) for k in self.keys], F.col(self.ts_col)),
                 F.lit(salt),
             )
-            n_slots = self.n_buckets * salt
+            n_slots = nb * salt
         else:
             slot = F.col(_BUCKET_COL)
-            n_slots = self.n_buckets
+            n_slots = nb
         (
             # exact slot placement: hashing k bucket ids into k partitions
             # leaves only ~0.63k non-empty tasks (r4 profiling: the 32-bucket
@@ -710,7 +751,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(cdir)
         )
-        added = self._scan_written(cdir, cdir_rel)
+        added = self._scan_written(cdir, cdir_rel, nb)
         # retry through commit races: a separate maintenance process
         # (compaction/expiry) landing a commit between this merge's state
         # read and its commit write is the NORMAL deployment, not an
@@ -808,8 +849,10 @@ class LakeTable:
         app_metadata: dict | None,
         write_salt: int = 1,
         precommit_check=None,
+        scheme: int | None = None,
         _restarts: int = 0,
     ) -> Commit:
+        nb = scheme or self.n_buckets
         # Driver collects *bucket ids* only — bounded by n_buckets, never rows.
         affected = sorted(
             r[0] for r in src.select(_BUCKET_COL).distinct().collect()
@@ -822,7 +865,27 @@ class LakeTable:
         # ConcurrentCommitError the commit protocol promises.
         st = self._state_full()
         live = st.live
-        old_files = [p for p, a in live.items() if a["bucket"] in affected]
+        # bucket-spec evolution: live files written under OLDER schemes
+        # bucket the same key differently — a CoW merge MUST rewrite every
+        # file that can hold a version of an affected key under ITS scheme
+        # (CoW reads are resolve-free, so missing one would leave stale
+        # versions visible). One tiny distinct-collect per extra scheme;
+        # the rewrite re-stamps under the current scheme, migrating them.
+        aff_by_scheme: dict[int, set] = {nb: set(affected)}
+        for s in {
+            a.get("scheme", self._base_n_buckets) for a in live.values()
+        } - {nb}:
+            aff_by_scheme[s] = {
+                r[0]
+                for r in src.select(
+                    self._bucket_expr(self.keys[0], s)
+                ).distinct().collect()
+            }
+        old_files = [
+            p
+            for p, a in live.items()
+            if a["bucket"] in aff_by_scheme[a.get("scheme", self._base_n_buckets)]
+        ]
         target = self._read_files(old_files)
 
         if target is not None:
@@ -839,7 +902,9 @@ class LakeTable:
         # expire tombstones older than the max replay horizon.
         # recompute bucket post-union (schema-evolution may have nulled it on
         # old rows only in pathological cases; cheap and safe)
-        resolved = resolved.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0]))
+        resolved = resolved.withColumn(
+            _BUCKET_COL, self._bucket_expr(self.keys[0], nb)
+        )
 
         version = st.version + 1
         # unique dir per ATTEMPT, not per version: two writers racing to the
@@ -851,9 +916,14 @@ class LakeTable:
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
         # exact placement over the AFFECTED buckets only (the driver already
         # holds `affected`): one write task per touched bucket(/salt), no
-        # birthday quantization, no empty tasks for untouched buckets
-        slot = dense_slot(F.col(_BUCKET_COL), affected)
-        n_slots = max(len(affected), 1)
+        # birthday quantization, no empty tasks for untouched buckets.
+        # During a bucket-spec transition (old-scheme files live), rows
+        # from rewritten old-scheme files re-stamp into CURRENT-scheme
+        # buckets outside `affected` — use the full range so every row has
+        # an exact slot (empty slots write nothing; transition-only cost)
+        slot_domain = list(range(nb)) if len(aff_by_scheme) > 1 else affected
+        slot = dense_slot(F.col(_BUCKET_COL), slot_domain)
+        n_slots = max(len(slot_domain), 1)
         if write_salt > 1:
             # same hot-bucket write spreading as the MoR path
             slot = slot * F.lit(write_salt) + F.pmod(
@@ -869,7 +939,7 @@ class LakeTable:
             .parquet(cdir)
         )
 
-        added = self._scan_written(cdir, cdir_rel)
+        added = self._scan_written(cdir, cdir_rel, nb)
         # retry through commit races (same deployment reality as the MoR
         # path: a separate maintenance process commits concurrently). A
         # CoW rewrite REMOVES old_files, so re-attempting at the new head
@@ -920,20 +990,26 @@ class LakeTable:
                         raise
                     return self._merge_persisted(
                         src, batch_id, app_metadata, write_salt,
-                        precommit_check, _restarts + 1,
+                        precommit_check, scheme=nb, _restarts=_restarts + 1,
                     )
                 version = st.version + 1
         raise ConcurrentCommitError(
             "merge commit lost the race 4 times in a row"
         )
 
-    def _scan_written(self, cdir: str, cdir_rel: str) -> list[dict]:
+    def _scan_written(
+        self, cdir: str, cdir_rel: str, scheme: int | None = None
+    ) -> list[dict]:
         """Enumerate data files of a write with per-file row counts (from
         parquet footers) and bucket ids (from partition dirs) — the
-        per-partition lineage record. At cluster scale this comes from the
-        executor write-task commit messages instead of a driver scan."""
+        per-partition lineage record. ``scheme`` is the bucket count the
+        writer assigned buckets under (callers capture it at stamp time);
+        read_key prunes each file under ITS recorded scheme. At cluster
+        scale this comes from the executor write-task commit messages
+        instead of a driver scan."""
         import pyarrow.parquet as pq
 
+        scheme = scheme or self.n_buckets
         added = []
         for dirpath, _, files in os.walk(cdir):
             m = re.search(r"_pb=(\d+)", dirpath)
@@ -950,7 +1026,8 @@ class LakeTable:
                 key_min, key_max = self._col_stats(md, self.keys[0])
                 added.append(
                     {
-                        "path": rel, "bucket": bucket, "rows": md.num_rows,
+                        "path": rel, "bucket": bucket, "scheme": scheme,
+                        "rows": md.num_rows,
                         "ts_min": ts_min, "ts_max": ts_max,
                         "key_min": key_min, "key_max": key_max,
                     }
@@ -1010,6 +1087,41 @@ class LakeTable:
         self._write_commit(commit)
         return commit
 
+    def set_n_buckets(self, new_n: int) -> Commit:
+        """Bucket-spec evolution — the Iceberg partition-spec-evolution
+        analog for the bucket spec: a METADATA-ONLY commit switches the
+        current write scheme; no data is rewritten. Existing files stay
+        valid under the scheme they were written with (tracked per file in
+        the manifest): read_key prunes each file under ITS scheme, CoW
+        merges rewrite affected old-scheme files, and compact() migrates
+        remaining old-scheme files to the current scheme lazily. The
+        operational lever when conv_id cardinality outgrows the create-time
+        bucket count at 10^10-event scale (n_buckets ≫ cores keeps write
+        parallelism un-quantized) — without the full-table rewrite a naive
+        re-bucketing would need."""
+        if not isinstance(new_n, int) or new_n < 1:
+            raise ValueError(f"n_buckets must be a positive int, got {new_n!r}")
+        for _attempt in range(4):
+            st = self._state_full()
+            commit = Commit(
+                version=st.version + 1,
+                batch_id=None,
+                added=[],
+                removed=[],
+                schema_json=None,
+                n_buckets=new_n,
+                metrics={"set_n_buckets": new_n, "commit_retries": _attempt},
+            )
+            try:
+                self._write_commit(commit)
+            except ConcurrentCommitError:
+                continue
+            self._state_full()  # refresh self.n_buckets
+            return commit
+        raise ConcurrentCommitError(
+            "set_n_buckets lost the race 4 times in a row"
+        )
+
     def current_schema(self) -> T.StructType | None:
         """Latest committed schema (post-renames), None if never written."""
         _, schema_json, renames = self._state()
@@ -1042,10 +1154,22 @@ class LakeTable:
         until a later call — read-side LWW is unaffected."""
         # one snapshot drives files AND version (see _merge_persisted)
         st = self._state_full()
-        by_bucket: dict[int, list[str]] = {}
+        nb = self.n_buckets
+        # group by (scheme, bucket): after set_n_buckets, equal bucket ids
+        # under different schemes are different key partitions
+        by_bucket: dict[tuple[int, int], list[str]] = {}
         for p, a in st.live.items():
-            by_bucket.setdefault(a["bucket"], []).append(p)
-        targets = {b: ps for b, ps in by_bucket.items() if len(ps) >= min_files_per_bucket}
+            s = a.get("scheme", self._base_n_buckets)
+            by_bucket.setdefault((s, a["bucket"]), []).append(p)
+        targets = {
+            sb: ps
+            for sb, ps in by_bucket.items()
+            # old-scheme groups are ALWAYS targets regardless of
+            # fragmentation: compaction is the lazy migration path of
+            # bucket-spec evolution (rewrites re-stamp to the current
+            # scheme below)
+            if len(ps) >= min_files_per_bucket or sb[0] != nb
+        }
         if not targets:
             return None
         if max_buckets is not None:
@@ -1059,11 +1183,23 @@ class LakeTable:
             if len(targets) > max_buckets:
                 worst = sorted(targets, key=lambda b: len(targets[b]), reverse=True)
                 targets = {b: targets[b] for b in worst[:max_buckets]}
+        migrating = any(s != nb for s, _ in targets)
         old_files = [p for ps in targets.values() for p in ps]
         df = self._resolve(self._read_files(old_files))
+        if migrating:
+            # re-stamp under the current scheme (a no-op value-wise for
+            # rows already written under it)
+            df = df.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0], nb))
+            # re-stamped rows can land in ANY current-scheme bucket —
+            # exact placement over the full range (empty slots write
+            # nothing; transition-only cost)
+            slot_domain: list[int] = list(range(nb))
+        else:
+            slot_domain = sorted({b for _, b in targets})
         version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        n_slots = len(slot_domain)
         (
             # cluster by key within each rewritten bucket: the footer key
             # stats become tight, so read_key skips sibling files, and
@@ -1071,9 +1207,9 @@ class LakeTable:
             # sort-order-on-rewrite pattern)
             df.withColumn("_pb", F.col(_BUCKET_COL))
             .repartition(
-                len(targets),
+                n_slots,
                 exact_slot_rekey(
-                    dense_slot(F.col(_BUCKET_COL), targets), len(targets)
+                    dense_slot(F.col(_BUCKET_COL), slot_domain), n_slots
                 ),
             )
             .sortWithinPartitions(*self.keys)
@@ -1081,7 +1217,7 @@ class LakeTable:
             .mode("overwrite")
             .parquet(cdir)
         )
-        added = self._scan_written(cdir, cdir_rel)
+        added = self._scan_written(cdir, cdir_rel, nb)
         return self._commit_maintenance(
             version, added, old_files,
             metrics={
@@ -1153,26 +1289,42 @@ class LakeTable:
         # a concurrent commit after this point surfaces as
         # ConcurrentCommitError instead of being silently overwritten
         st = self._state_full()
+        nb = self.n_buckets
+        # selection by stored bucket id catches every file holding an
+        # expired tombstone under ANY scheme (stored == manifest bucket);
+        # same-id files of other schemes ride along harmlessly
         old_files = [p for p, a in st.live.items() if a["bucket"] in buckets]
         df = self._resolve(self._read_files(old_files)).filter(
             ~((F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than)))
         )
+        mixed = {
+            st.live[p].get("scheme", self._base_n_buckets) for p in old_files
+        } != {nb}
+        if mixed:
+            # bucket-spec transition: rewritten output must be single-
+            # scheme per file — re-stamp to the current scheme (also
+            # migrates these files, same as compact)
+            df = df.withColumn(_BUCKET_COL, self._bucket_expr(self.keys[0], nb))
+            slot_domain: list[int] = list(range(nb))
+        else:
+            slot_domain = sorted(buckets)
         version = st.version + 1
         cdir_rel = f"c{version:020d}-{uuid.uuid4().hex[:8]}"  # unique per attempt
         cdir = os.path.join(self.root, _DATA_DIR, cdir_rel)
+        n_slots = len(slot_domain)
         (
             df.withColumn("_pb", F.col(_BUCKET_COL))
             .repartition(
-                len(buckets),
+                n_slots,
                 exact_slot_rekey(
-                    dense_slot(F.col(_BUCKET_COL), buckets), len(buckets)
+                    dense_slot(F.col(_BUCKET_COL), slot_domain), n_slots
                 ),
             )
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(cdir)
         )
-        added = self._scan_written(cdir, cdir_rel)
+        added = self._scan_written(cdir, cdir_rel, nb)
         return self._commit_maintenance(
             version, added, old_files,
             metrics={"tombstones_expired": True, "buckets": len(buckets)},

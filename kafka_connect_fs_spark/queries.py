@@ -472,6 +472,41 @@ FROM ranked WHERE rn = 1
 """
 
 
+_REBUCKET_CACHE: dict[str, str] = {}
+
+
+def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-spec evolution end-to-end (plans/lake.py set_n_buckets — the
+    Iceberg partition-spec-evolution analog): merge the early event half
+    under the create-time 8-bucket spec, evolve to 13 buckets with a
+    METADATA-ONLY commit, merge the later half under the new spec (old
+    files stay valid under their per-file recorded scheme), then compact —
+    which lazily migrates every old-scheme file to the current spec. The
+    final state must equal plain LWW over ALL events: the rebucket changed
+    physical layout only, never content. In-query assertions pin that both
+    schemes coexisted before the compaction and only the new one survives
+    it — the operational lever for growing n_buckets ≫ cores at
+    10^10-event scale without a stop-the-world table rewrite."""
+
+    def build(lake, src):
+        cut = LAKE_CUT_TS
+        lake.merge(src.where(F.col("ts") < cut).drop("event_id"), "b1")
+        lake.set_n_buckets(13)
+        lake.merge(src.where(F.col("ts") >= cut).drop("event_id"), "b2")
+        live, _, _ = lake._state()
+        schemes = {a.get("scheme") for a in live.values()}
+        assert schemes == {8, 13}, schemes  # both specs live pre-migration
+        lake.compact(min_files_per_bucket=99)  # migration-only threshold
+
+    lake = _cached_lake(spark, sf_dir, _REBUCKET_CACHE, "kcfs_rebucket_q_", build)
+    live, _, _ = lake._state()
+    assert {a.get("scheme") for a in live.values()} == {13}  # fully migrated
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (joins/aggs/windows — Catalyst-native, bench anchors)
 # --------------------------------------------------------------------------
@@ -1817,6 +1852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_cdf_changes": q_lake_cdf_changes,
     "cdc_deletes_applied": q_cdc_deletes_applied,
     "lake_schema_evolution": q_lake_schema_evolution,
+    "lake_rebucket": q_lake_rebucket,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
@@ -1868,6 +1904,9 @@ ORACLES: dict[str, str] = {
     "lake_cdf_changes": SQL_LAKE_CDF_CHANGES,
     "cdc_deletes_applied": SQL_CDC_DELETES_APPLIED,
     "lake_schema_evolution": SQL_LAKE_SCHEMA_EVOLUTION,
+    # content must be invariant under re-bucketing: same oracle as the
+    # plain final-state query
+    "lake_rebucket": SQL_TRANSCRIPT_FINAL_STATE,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,

@@ -190,7 +190,11 @@ class IngestEngine:
         )
         # an EXISTING table's frozen spec wins over the config — but a
         # silently-drifted config would still drive the quarantine filter
-        # and planning, so mismatches are an error, not a shrug
+        # and planning, so mismatches are an error, not a shrug. Replay
+        # the log first: n_buckets may have EVOLVED via set_n_buckets —
+        # the config must match the table's CURRENT scheme, not the
+        # create-time one
+        self.lake._state_full()
         drift = {
             name: (got, want)
             for name, got, want in (

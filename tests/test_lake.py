@@ -1038,3 +1038,140 @@ def test_cow_merge_restarts_when_inputs_compacted_away(spark, tmp_path):
     live, _, _ = t._state()
     removed = {p for h in t.history() for p in h["removed"]}
     assert not (set(live) & removed)
+
+
+# ------------------------------------------------------ bucket-spec evolution
+
+
+def _final(t):
+    return {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+
+
+def _schemes(t):
+    live, _, _ = t._state()
+    return {a.get("scheme") for a in live.values()}
+
+
+def test_set_n_buckets_is_metadata_only_and_reads_stay_exact(spark, tmp_path):
+    """Iceberg-style bucket-spec evolution: the switch is a metadata-only
+    commit; old files stay valid under their recorded scheme and point
+    lookups remain exact across both eras."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "ev"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    t.merge(edf(spark, [ev(f"c{i}", 0, f"old{i}", i) for i in range(8)]), "b0")
+    c = t.set_n_buckets(9)
+    assert c.added == [] and c.removed == [] and c.n_buckets == 9
+    assert t.n_buckets == 9
+    # new writes tag the new scheme; old files keep theirs
+    t.merge(
+        edf(
+            spark,
+            [ev(f"n{i}", 0, f"new{i}", 100 + i) for i in range(8)]
+            + [ev("c3", 0, "old3-updated", 999)],
+        ),
+        "b1",
+    )
+    assert _schemes(t) == {4, 9}
+    expect = {(f"c{i}", 0): f"old{i}" for i in range(8)}
+    expect.update({(f"n{i}", 0): f"new{i}" for i in range(8)})
+    expect[("c3", 0)] = "old3-updated"
+    assert _final(t) == expect
+    # point lookups exact for: old-era key, new-era key, cross-era update
+    for k, want in [("c1", {"old1"}), ("n5", {"new5"}), ("c3", {"old3-updated"})]:
+        got = {r.text for r in t.read_key(k).collect()}
+        assert got == want, (k, got, want)
+
+
+def test_compact_migrates_old_scheme_files(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "mig"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    t.merge(edf(spark, [ev(f"c{i}", 0, f"v{i}", i) for i in range(10)]), "b0")
+    t.set_n_buckets(7)
+    t.merge(edf(spark, [ev("c0", 0, "v0-upd", 50)]), "b1")
+    before = _final(t)
+    # threshold high: nothing is fragmented enough — ONLY migration fires
+    c = t.compact(min_files_per_bucket=99)
+    assert c is not None
+    assert _schemes(t) == {7}  # every live file now carries the new scheme
+    assert _final(t) == before
+    for k in ("c0", "c4", "c9"):
+        assert t.read_key(k).count() == 1, k
+    # fully migrated and unfragmented: nothing left to compact
+    assert t.compact(min_files_per_bucket=99) is None
+
+
+def test_cow_merge_rewrites_old_scheme_files_of_affected_keys(spark, tmp_path):
+    """CoW reads are resolve-free, so a merge after set_n_buckets must
+    find and rewrite the OLD-scheme file holding the key's prior version
+    (bucketed differently under the old scheme) — otherwise the stale
+    version would stay visible."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "cowev"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="cow",
+    )
+    t.merge(edf(spark, [ev("k1", 0, "v1", 1), ev("k2", 0, "x", 1)]), "b0")
+    t.set_n_buckets(8)
+    t.merge(edf(spark, [ev("k1", 0, "v2", 2)]), "b1")
+    rows = t.read().collect()
+    assert {(r.conv_id, r.turn_idx): r.text for r in rows} == {
+        ("k1", 0): "v2", ("k2", 0): "x",
+    }
+    assert len(rows) == 2  # no stale duplicate of k1 anywhere
+    assert {r.text for r in t.read_key("k1").collect()} == {"v2"}
+    assert {r.text for r in t.read_key("k2").collect()} == {"x"}
+
+
+def test_set_n_buckets_survives_checkpoint_and_reopen(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "ck"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    t._ckpt_every = 2
+    t.merge(edf(spark, [ev("a", 0, "1", 1)]), "b0")
+    t.set_n_buckets(6)
+    t.merge(edf(spark, [ev("b", 0, "2", 2)]), "b1")
+    t.merge(edf(spark, [ev("c", 0, "3", 3)]), "b2")  # past a checkpoint
+    fresh = LakeTable(spark, t.root)
+    assert _final(fresh) == {("a", 0): "1", ("b", 0): "2", ("c", 0): "3"}
+    assert fresh.n_buckets == 6  # refreshed by the state replay
+    assert {r.text for r in fresh.read_key("a").collect()} == {"1"}
+
+
+def test_expire_tombstones_across_schemes(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "exp"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    t.merge(
+        edf(
+            spark,
+            [ev("gone", 0, "dead", 1), ev("keep", 0, "alive", 1)],
+        ),
+        "b0",
+    )
+    t.merge(edf(spark, [ev("gone", 0, None, 2, op="delete")]), "b1")
+    t.set_n_buckets(5)
+    t.merge(edf(spark, [ev("new", 0, "fresh", 10)]), "b2")
+    c = t.expire_tombstones(ts(100))
+    assert c is not None
+    # rewritten files are single-scheme (tagged with the current scheme)
+    live, _, _ = t._state()
+    for a in live.values():
+        assert a.get("scheme") in (4, 5)
+    assert _final(t) == {("keep", 0): "alive", ("new", 0): "fresh"}
+    assert {r.text for r in t.read_key("keep").collect()} == {"alive"}
+
+
+def test_set_n_buckets_validates(spark, tmp_path):
+    t = LakeTable.create(
+        spark, str(tmp_path / "val"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4,
+    )
+    with pytest.raises(ValueError):
+        t.set_n_buckets(0)
+    with pytest.raises(ValueError):
+        t.set_n_buckets(-3)
