@@ -45,6 +45,15 @@ def main(argv: list[str] | None = None) -> int:
                    help="inline JSON or a path to a JSON file with per-reader "
                         "options (e.g. cobol copybook_content, csv sep)")
     p.add_argument("--merge-mode", default="mor", choices=["mor", "cow"])
+    p.add_argument("--write-salt", default="1",
+                   help="spread each bucket's delta write over N tasks for "
+                        "hot conv_id batches (int), or 'auto' to let the "
+                        "engine size it from the previous commit's per-"
+                        "bucket row counts")
+    p.add_argument("--target-rows-per-write-task", type=int, default=2_000_000,
+                   help="auto write-salt: desired rows per write task in "
+                        "the hottest bucket")
+    p.add_argument("--max-write-salt", type=int, default=16)
     p.add_argument("--compact-every", type=int, default=20,
                    help="fold MoR deltas every N batches (0 = never)")
     p.add_argument("--compact-min-files", type=int, default=4)
@@ -100,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
             cleanup_move_prefix=args.cleanup_move_prefix,
             reader_options=reader_options,
             merge_mode=args.merge_mode,
+            write_salt=(
+                "auto" if args.write_salt == "auto" else int(args.write_salt)
+            ),
+            target_rows_per_write_task=args.target_rows_per_write_task,
+            max_write_salt=args.max_write_salt,
             compact_every=args.compact_every,
             compact_min_files_per_bucket=args.compact_min_files,
         ),

@@ -775,6 +775,7 @@ class LakeTable:
                     "rows_written": sum(a["rows"] for a in added),
                     "files_added": len(added),
                     "files_removed": 0,
+                    "write_salt": salt,
                     "commit_retries": _attempt,
                 },
             )
@@ -967,6 +968,7 @@ class LakeTable:
                     "rows_written": sum(a["rows"] for a in added),
                     "files_added": len(added),
                     "files_removed": len(old_files),
+                    "write_salt": write_salt,
                     "commit_retries": _attempt,
                 },
             )

@@ -109,8 +109,18 @@ class IngestConfig:
     # sane for low-frequency batch loads touching few buckets).
     merge_mode: str = "mor"
     # >1 spreads each bucket's delta WRITE over N tasks (deterministic
-    # key salt) — for hot conv_id batches; compaction folds the extra files
-    write_salt: int = 1
+    # key salt) — for hot conv_id batches; compaction folds the extra files.
+    # "auto" = adaptive: the engine sizes the NEXT batch's salt from the
+    # per-bucket row counts the previous commit already recorded (zero
+    # extra jobs) — a sustained hot conv_id heats the same bucket batch
+    # after batch, so a one-batch-lagged feedback controller converges
+    # immediately; it decays one step per calm batch so a transient spike
+    # doesn't leave permanent extra files for compaction to fold
+    write_salt: int | str = 1
+    # auto-salt controller targets: salt = ceil(hottest bucket's rows /
+    # target_rows_per_write_task), capped at max_write_salt
+    target_rows_per_write_task: int = 2_000_000
+    max_write_salt: int = 16
     files_per_trigger: int = 0  # 0 = unlimited (policy.batch_size analog)
     bytes_per_trigger: int = 0  # 0 = unlimited (file_reader.batch_size /
     # maxBytesPerTrigger analog: caps the tail bytes admitted per batch)
@@ -168,6 +178,16 @@ class IngestEngine:
             raise ValueError(f"unknown cleanup mode: {config.cleanup!r}")
         if config.cleanup == "move" and not config.cleanup_move_dir:
             raise ValueError("cleanup='move' requires cleanup_move_dir")
+        if config.write_salt != "auto" and (
+            not isinstance(config.write_salt, int) or config.write_salt < 1
+        ):
+            raise ValueError(
+                f"write_salt must be a positive int or 'auto', got "
+                f"{config.write_salt!r}"
+            )
+        # adaptive-salt controller state (write_salt="auto"): the salt the
+        # NEXT merge will use, updated from each commit's bucket stats
+        self._auto_salt: int = 1
         # reference parity (data_type_mapping_error=false,
         # UnivocityFileReader.java:273-305): unparseable cells become NULL
         # and the record is quarantined — under ANSI (the Spark 4 default)
@@ -792,9 +812,13 @@ class IngestEngine:
                 events,
                 batch_id=batch_id,
                 app_metadata={"watermarks": wm_updates, "cleanup": finished},
-                write_salt=cfg.write_salt,
+                write_salt=(
+                    self._auto_salt if cfg.write_salt == "auto" else cfg.write_salt
+                ),
                 precommit_check=_stats_still_hold,
             )
+            if cfg.write_salt == "auto":
+                self._update_auto_salt(commit)
             if obs is not None:
                 # the merge's write action has run, so the metric is ready
                 # (no blocking wait, no extra job)
@@ -855,6 +879,29 @@ class IngestEngine:
                 print(f"kcfs: batch failed, will retry next trigger: {e}", file=sys.stderr)
                 traceback.print_exc()
         return results
+
+    # ---------------------------------------------------------- auto salt
+    def _update_auto_salt(self, commit) -> None:
+        """Feedback controller for the hot-conv_id write salt
+        (write_salt="auto"): size the NEXT batch's salt from the
+        per-bucket row counts this commit's manifest already carries —
+        zero extra Spark jobs. Per-bucket rows are salt-independent (the
+        salt splits a bucket's rows across files WITHIN the bucket), so
+        the measurement is unbiased whatever salt this batch used. Rise
+        is immediate (the hot bucket would otherwise serialize its write
+        into one task next batch too); decay is one step per calm batch
+        (a transient spike shouldn't keep fragmenting files that
+        compaction then has to fold)."""
+        by_bucket: dict[int, int] = {}
+        for a in commit.added:
+            b = a.get("bucket")
+            by_bucket[b] = by_bucket.get(b, 0) + int(a.get("rows", 0))
+        hot = max(by_bucket.values(), default=0)
+        target = max(1, int(self.config.target_rows_per_write_task))
+        desired = min(int(self.config.max_write_salt), -(-hot // target))
+        self._auto_salt = (
+            desired if desired >= self._auto_salt else max(1, self._auto_salt - 1)
+        )
 
     # -------------------------------------------------------------- cleanup
     def _cleanup(self, paths: list[str]) -> list[str]:

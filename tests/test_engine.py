@@ -630,6 +630,75 @@ def test_hot_key_skew_ingest_is_exact(spark, tmp_path):
     assert_matches_oracle(engine, rows)
 
 
+def test_auto_salt_controller_rise_cap_decay(spark, tmp_path):
+    """write_salt='auto' feedback law: salt = ceil(hottest bucket rows /
+    target), rise immediate, capped at max_write_salt, decay one step per
+    calm batch, floor 1. Pure-controller test over stub commits."""
+    engine = make_engine(
+        spark,
+        tmp_path,
+        write_salt="auto",
+        target_rows_per_write_task=100,
+        max_write_salt=4,
+    )
+
+    class _C:
+        def __init__(self, added):
+            self.added = added
+
+    assert engine._auto_salt == 1
+    # hot bucket: ceil(350/100) = 4 — immediate rise
+    engine._update_auto_salt(_C([{"bucket": 0, "rows": 350}, {"bucket": 1, "rows": 10}]))
+    assert engine._auto_salt == 4
+    # hotter still: capped at max_write_salt
+    engine._update_auto_salt(_C([{"bucket": 2, "rows": 10_000}]))
+    assert engine._auto_salt == 4
+    # calm batches decay one step each, never below 1
+    for expected in (3, 2, 1, 1):
+        engine._update_auto_salt(_C([{"bucket": 0, "rows": 10}]))
+        assert engine._auto_salt == expected
+    # empty commit (no files added) also counts as calm, floors at 1
+    engine._update_auto_salt(_C([]))
+    assert engine._auto_salt == 1
+
+
+def test_auto_write_salt_applies_next_batch_and_stays_exact(spark, tmp_path):
+    """Integration: a hot batch raises the salt the NEXT merge uses (the
+    commit's recorded write_salt metric proves it); final state still
+    hash-matches the LWW oracle — salting never changes results."""
+    engine = make_engine(
+        spark,
+        tmp_path,
+        write_salt="auto",
+        target_rows_per_write_task=10,
+        max_write_salt=8,
+    )
+    # batch 1 runs at salt 1 (no history yet) but its commit measures a
+    # hot bucket: 40% of 60 events on one conv_id → ≥24 rows in one bucket
+    rows1 = transcript_change_events(10, 3, n_versions=2, zipf_hot_fraction=0.4)
+    write_jsonl(rows1, str(tmp_path / "src" / "hot1.jsonl"))
+    engine.run_once()
+    c1 = engine.lake.commits()[-1]
+    assert c1.metrics["write_salt"] == 1
+    raised = engine._auto_salt
+    assert raised > 1
+    # batch 2 (still hot) is written with the raised salt
+    rows2 = transcript_change_events(
+        10, 3, n_versions=2, zipf_hot_fraction=0.4, seed=7
+    )
+    write_jsonl(rows2, str(tmp_path / "src" / "hot2.jsonl"))
+    engine.run_once()
+    c2 = engine.lake.commits()[-1]
+    assert c2.metrics["write_salt"] == raised
+    assert_matches_oracle(engine, rows1 + rows2)
+
+
+def test_write_salt_config_validation(spark, tmp_path):
+    for bad in (0, -1, "bogus", 1.5):
+        with pytest.raises(ValueError, match="write_salt"):
+            make_engine(spark, tmp_path, write_salt=bad)
+
+
 def test_engine_type_widening_across_schema_versions(spark, tmp_path):
     """A redeployed pipeline whose declared schema widened a column
     (int -> long) keeps ingesting into the same table: old files upcast at

@@ -87,7 +87,7 @@ def test_stateful_sessionize_matches_session_window_oracle(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query still running after 600s"
     got = spark.read.schema(
         "user_id long, session_no long, n_events long, "
         "session_start timestamp, session_end timestamp, session_value double"
@@ -136,7 +136,7 @@ def test_session_window_streaming_append_emits_closed_sessions(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(600), "streaming query still running after 600s"
     got = spark.read.schema(
         "user_id long, n_events long, session_start timestamp, "
         "session_end timestamp, session_value double"

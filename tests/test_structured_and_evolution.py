@@ -47,7 +47,7 @@ def test_structured_streaming_rotating_ingest(spark, tmp_path):
         max_files_per_trigger=1,
         available_now=True,
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(600), "streaming query still running after 600s"
     exp = {k: v["text"] for k, v in expected_final_state(rows).items()}
     got = {(r.conv_id, r.turn_idx): r.text for r in table.read().collect()}
     assert got == exp
@@ -57,7 +57,7 @@ def test_structured_streaming_rotating_ingest(spark, tmp_path):
         spark, str(src), table, CHANGE_EVENT_SCHEMA, str(tmp_path / "ckpt"),
         fmt="json", available_now=True,
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(600), "streaming query still running after 600s"
     assert table.latest_version() == v_before
 
 
