@@ -92,11 +92,11 @@ def _from_logical(schema: dict, raw):
         return _decimal.Decimal(unscaled).scaleb(-int(schema.get("scale", 0)))
     if lt == "date":
         return _EPOCH_DATE + _dt.timedelta(days=raw)
-    if lt == "timestamp-millis":
+    if lt in ("timestamp-millis", "local-timestamp-millis"):
         return _EPOCH + _dt.timedelta(milliseconds=raw)
-    if lt == "timestamp-micros":
+    if lt in ("timestamp-micros", "local-timestamp-micros"):
         return _EPOCH + _dt.timedelta(microseconds=raw)
-    return raw  # uuid, time-*: keep the underlying representation
+    return raw  # uuid (string), time-* (int/long): underlying representation
 
 
 def _to_raw(schema: dict, value):
@@ -115,9 +115,13 @@ def _to_raw(schema: dict, value):
         value, _dt.datetime
     ):
         return (value - _EPOCH_DATE).days
-    if lt == "timestamp-millis" and isinstance(value, _dt.datetime):
+    if lt in ("timestamp-millis", "local-timestamp-millis") and isinstance(
+        value, _dt.datetime
+    ):
         return round((value - _EPOCH).total_seconds() * 1000)
-    if lt == "timestamp-micros" and isinstance(value, _dt.datetime):
+    if lt in ("timestamp-micros", "local-timestamp-micros") and isinstance(
+        value, _dt.datetime
+    ):
         delta = value - _EPOCH
         return (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
     return value
@@ -211,6 +215,8 @@ _LOGICAL_PY_TYPES = {
     "date": _dt.date,
     "timestamp-millis": _dt.datetime,
     "timestamp-micros": _dt.datetime,
+    "local-timestamp-millis": _dt.datetime,
+    "local-timestamp-micros": _dt.datetime,
 }
 
 
@@ -388,7 +394,13 @@ def avro_to_spark_schema(schema: dict):
                 return T.DateType()
             if lt in ("timestamp-millis", "timestamp-micros"):
                 return T.TimestampType()
-            # uuid/time-*: fall through to the underlying primitive
+            if lt in ("local-timestamp-millis", "local-timestamp-micros"):
+                # zone-less wall-clock time: Spark's TIMESTAMP_NTZ (the
+                # same mapping spark-avro uses)
+                return T.TimestampNTZType()
+            # uuid → string and time-millis/micros → int/long: fall
+            # through to the underlying primitive (Spark has no UUID
+            # type; spark-avro surfaces these the same way)
         t = s if isinstance(s, str) else s["type"]
         prim = {
             "boolean": T.BooleanType(), "int": T.IntegerType(),

@@ -447,6 +447,19 @@ LOGICAL_SCHEMA = {
             "name": "ts_us",
             "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}],
         },
+        {
+            "name": "lts_ms",
+            "type": {"type": "long", "logicalType": "local-timestamp-millis"},
+        },
+        {
+            "name": "lts_us",
+            "type": [
+                "null",
+                {"type": "long", "logicalType": "local-timestamp-micros"},
+            ],
+        },
+        {"name": "uid", "type": {"type": "string", "logicalType": "uuid"}},
+        {"name": "t_ms", "type": {"type": "int", "logicalType": "time-millis"}},
     ],
 }
 
@@ -465,6 +478,12 @@ def _logical_recs(n):
             "ts_us": None
             if i % 5 == 0
             else dt.datetime(2020, 1, 1) + dt.timedelta(microseconds=i * 999_999),
+            "lts_ms": dt.datetime(2021, 6, 1) + dt.timedelta(milliseconds=i * 333),
+            "lts_us": None
+            if i % 7 == 0
+            else dt.datetime(2021, 6, 1) + dt.timedelta(microseconds=i * 123_457),
+            "uid": f"00000000-0000-4000-8000-{i:012d}",
+            "t_ms": (i * 61_003) % 86_400_000,
         }
         for i in range(n)
     ]
@@ -485,6 +504,12 @@ def test_logical_types_spark_schema():
     assert st["day"].dataType == T.DateType()
     assert st["ts_ms"].dataType == T.TimestampType()
     assert st["ts_us"].dataType == T.TimestampType()
+    # zone-less wall-clock → TIMESTAMP_NTZ; uuid stays string, time-millis
+    # stays the underlying int (spark-avro's mappings)
+    assert st["lts_ms"].dataType == T.TimestampNTZType()
+    assert st["lts_us"].dataType == T.TimestampNTZType()
+    assert st["uid"].dataType == T.StringType()
+    assert st["t_ms"].dataType == T.IntegerType()
 
 
 def test_logical_types_spark_read(spark, tmp_path):
@@ -501,6 +526,10 @@ def test_logical_types_spark_read(spark, tmp_path):
         assert g.day == want["day"]
         assert g.ts_ms == want["ts_ms"]
         assert g.ts_us == want["ts_us"]
+        assert g.lts_ms == want["lts_ms"]
+        assert g.lts_us == want["lts_us"]
+        assert g.uid == want["uid"]
+        assert g.t_ms == want["t_ms"]
 
 
 def test_logical_decimal_negative_fixed_sign_extension(tmp_path):
@@ -515,6 +544,10 @@ def test_logical_decimal_negative_fixed_sign_extension(tmp_path):
             "day": __import__("datetime").date(1969, 7, 20),
             "ts_ms": __import__("datetime").datetime(1969, 12, 31, 23, 59, 59),
             "ts_us": None,
+            "lts_ms": __import__("datetime").datetime(1969, 12, 31, 23, 59, 59),
+            "lts_us": None,
+            "uid": "00000000-0000-4000-8000-000000000000",
+            "t_ms": 0,
         }
     ]
     write_container(p, LOGICAL_SCHEMA, rows)
