@@ -507,6 +507,64 @@ def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized view over the CDF
+    (plans/materialized.py — the CDC downstream the reference's users
+    wire up by hand in Kafka Streams; here one class over read_changes):
+    a per-conversation rollup built at batch 1's version, then brought to
+    head by absorbing ONLY batch 2's change window via partial recompute
+    of the touched groups. The in-query assertion pins that the catch-up
+    really ran incrementally (partial path, non-initial), and the result
+    must equal a from-scratch rollup of the final LWW state — the IVM
+    correctness invariant, checked against DuckDB."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.plans.materialized import IncrementalRollup
+
+    lake = _build_split_lake(spark, sf_dir)
+    v1 = lake.get_commit_by_batch_id("b1").version
+    base = tempfile.mkdtemp(prefix="kcfs_mv_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    mv = IncrementalRollup(
+        lake,
+        os.path.join(base, "mv"),
+        group_cols=["conv_id"],
+        aggs={
+            "n_turns": F.count(F.lit(1)),
+            "total_chars": F.sum(F.length("text")),
+            "last_ts": F.max("ts"),
+        },
+        n_buckets=8,
+    )
+    st1 = mv.refresh(to_version=v1)  # initial build as of batch 1
+    st2 = mv.refresh()  # incremental: absorb batch 2's change window only
+    assert not st1.partial and st2.partial and st2.from_version == v1, (st1, st2)
+    assert mv.lag() == 0
+    return mv.read().select(
+        "conv_id",
+        "n_turns",
+        "total_chars",
+        F.date_format("last_ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_MV_CONV_ROLLUP = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1
+GROUP BY conv_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Relational coverage (joins/aggs/windows — Catalyst-native, bench anchors)
 # --------------------------------------------------------------------------
@@ -1853,6 +1911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_deletes_applied": q_cdc_deletes_applied,
     "lake_schema_evolution": q_lake_schema_evolution,
     "lake_rebucket": q_lake_rebucket,
+    "mv_conv_rollup": q_mv_conv_rollup,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
@@ -1907,6 +1966,7 @@ ORACLES: dict[str, str] = {
     # content must be invariant under re-bucketing: same oracle as the
     # plain final-state query
     "lake_rebucket": SQL_TRANSCRIPT_FINAL_STATE,
+    "mv_conv_rollup": SQL_MV_CONV_ROLLUP,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,

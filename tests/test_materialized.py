@@ -1,0 +1,219 @@
+"""IncrementalRollup: CDF-driven materialized-view maintenance.
+
+The invariant under test everywhere: after any refresh, the MV equals a
+FULL recompute of the same aggregates over ``base.read()`` — while the
+refresh itself read only the touched buckets' files (asserted via
+RefreshStats), which is what makes it incremental at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_fs_spark.plans.lake import LakeTable
+from kafka_connect_fs_spark.plans.materialized import IncrementalRollup
+
+from tests.test_lake import edf, ev, ts  # noqa: F401  (shared event builders)
+
+AGGS = lambda: {  # noqa: E731 - fresh Columns per test
+    "n_turns": F.count(F.lit(1)),
+    "total_chars": F.sum(F.length("text")),
+    "last_ts": F.max("ts"),
+}
+
+
+@pytest.fixture()
+def base(spark, tmp_path):
+    return LakeTable.create(
+        spark, str(tmp_path / "base"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+
+
+def mv_of(base, tmp_path):
+    return IncrementalRollup(
+        base, str(tmp_path / "mv"), group_cols=["conv_id"], aggs=AGGS(),
+        n_buckets=4,
+    )
+
+
+def full_recompute(base):
+    return (
+        base.read()
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.max("ts").alias("last_ts"),
+        )
+    )
+
+
+def assert_mv_equals_full(mv, base):
+    got = sorted(
+        (r.conv_id, r.n_turns, r.total_chars, r.last_ts)
+        for r in mv.read().select(
+            "conv_id", "n_turns", "total_chars", "last_ts"
+        ).collect()
+    )
+    want = sorted(
+        (r.conv_id, r.n_turns, r.total_chars, r.last_ts)
+        for r in full_recompute(base).collect()
+    )
+    assert got == want
+
+
+def seed(spark, base, n_convs=8, turns=3):
+    rows = [
+        ev(f"c{c}", t, f"text-{c}-{t}", c * 100 + t)
+        for c in range(n_convs)
+        for t in range(turns)
+    ]
+    base.merge(edf(spark, rows), "b1")
+
+
+def test_initial_build_equals_full_recompute(spark, base, tmp_path):
+    seed(spark, base)
+    mv = mv_of(base, tmp_path)
+    st = mv.refresh()
+    assert not st.partial and st.n_files_read == st.n_live_files
+    assert mv.refreshed_version() == base.latest_version()
+    assert_mv_equals_full(mv, base)
+
+
+def test_incremental_refresh_touches_only_changed_buckets(spark, base, tmp_path):
+    seed(spark, base, n_convs=16)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    # batch 2 touches ONE conversation: a new turn plus a turn rewrite
+    base.merge(
+        edf(spark, [ev("c3", 9, "late-turn", 5000), ev("c3", 0, "rewritten", 5001)]),
+        "b2",
+    )
+    st = mv.refresh()
+    assert st.partial
+    # only c3's bucket's files were read — strictly fewer than live
+    assert 0 < st.n_files_read < st.n_live_files
+    assert st.n_groups_refreshed == 1 and st.n_groups_deleted == 0
+    assert_mv_equals_full(mv, base)
+    # untouched conversations kept their original MV rows
+    row = {r.conv_id: r for r in mv.read().collect()}
+    assert row["c3"].n_turns == 4  # 3 seeded + 1 late (rewrite replaces)
+    assert row["c0"].n_turns == 3
+
+
+def test_upsert_rewrite_does_not_double_count(spark, base, tmp_path):
+    """The reason partial-recompute (not delta-addition) is the right IVM
+    shape here: an upsert REPLACES a prior row version under LWW."""
+    seed(spark, base, n_convs=2)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    base.merge(edf(spark, [ev("c1", 0, "longer-replacement-text", 9000)]), "b2")
+    mv.refresh()
+    row = {r.conv_id: r for r in mv.read().collect()}
+    assert row["c1"].n_turns == 3  # still 3 turns, not 4
+    assert_mv_equals_full(mv, base)
+
+
+def test_full_conversation_delete_tombstones_mv_row(spark, base, tmp_path):
+    seed(spark, base, n_convs=4)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    deletes = [
+        ev("c2", t, None, 9000 + t, op="delete") for t in range(3)
+    ]
+    base.merge(edf(spark, deletes), "b2")
+    st = mv.refresh()
+    assert st.n_groups_deleted == 1
+    assert "c2" not in {r.conv_id for r in mv.read().collect()}
+    assert_mv_equals_full(mv, base)
+
+
+def test_partial_conversation_delete_recomputes_group(spark, base, tmp_path):
+    seed(spark, base, n_convs=4)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    base.merge(edf(spark, [ev("c2", 0, None, 9000, op="delete")]), "b2")
+    st = mv.refresh()
+    assert st.n_groups_deleted == 0
+    row = {r.conv_id: r for r in mv.read().collect()}
+    assert row["c2"].n_turns == 2
+    assert_mv_equals_full(mv, base)
+
+
+def test_refresh_is_idempotent_and_noop_when_current(spark, base, tmp_path):
+    seed(spark, base)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    v = mv.table.latest_version()
+    st = mv.refresh()  # nothing new
+    assert st.noop and mv.table.latest_version() == v
+    # crashed-caller replay: the SAME window merges under the same
+    # batch_id — the lake's replay guard makes it a no-op
+    base.merge(edf(spark, [ev("c0", 9, "x", 9000)]), "b2")
+    st1 = mv.refresh()
+    assert not st1.noop
+    mv2 = mv_of(base, tmp_path)  # fresh handle, same roots
+    st2 = mv2.refresh()
+    assert st2.noop
+    assert_mv_equals_full(mv2, base)
+
+
+def test_refresh_to_version_then_head(spark, base, tmp_path):
+    """Catch-up in steps: refresh pinned at batch 1's version, then to
+    head — the second refresh absorbs exactly the later window."""
+    seed(spark, base, n_convs=6)
+    v1 = base.latest_version()
+    base.merge(edf(spark, [ev("c5", 9, "late", 9000)]), "b2")
+    mv = mv_of(base, tmp_path)
+    st1 = mv.refresh(to_version=v1)
+    assert mv.refreshed_version() == v1 and not st1.partial
+    assert mv.lag() == base.latest_version() - v1
+    st2 = mv.refresh()
+    assert st2.partial and st2.from_version == v1
+    assert mv.lag() == 0
+    assert_mv_equals_full(mv, base)
+
+
+def test_maintenance_only_window_is_noop(spark, base, tmp_path):
+    seed(spark, base)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    # maintenance commit: physical rewrite, no logical changes
+    assert base.compact(min_files_per_bucket=1) is not None
+    assert base.latest_version() > mv.refreshed_version()
+    st = mv.refresh()
+    assert st.noop and st.n_files_read == 0
+    assert_mv_equals_full(mv, base)
+
+
+def test_refresh_across_bucket_spec_evolution(spark, base, tmp_path):
+    """Mid-migration (files under two schemes) the touched-bucket set is
+    computed per live scheme — the refresh stays correct."""
+    seed(spark, base, n_convs=8)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    base.set_n_buckets(8)
+    base.merge(edf(spark, [ev("c1", 9, "post-evolution", 9000)]), "b2")
+    live, _, _ = base._state()
+    assert len({a.get("scheme", 4) for a in live.values()}) > 1  # mixed
+    st = mv.refresh()
+    assert st.partial and st.n_files_read < st.n_live_files
+    assert_mv_equals_full(mv, base)
+
+
+def test_group_cols_must_start_with_bucket_key(spark, base, tmp_path):
+    with pytest.raises(ValueError, match="bucket key"):
+        IncrementalRollup(
+            base, str(tmp_path / "mv"), group_cols=["role"], aggs=AGGS()
+        )
+
+
+def test_requires_mor_base(spark, tmp_path):
+    cow = LakeTable.create(
+        spark, str(tmp_path / "cow"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="cow",
+    )
+    with pytest.raises(ValueError, match="MoR"):
+        IncrementalRollup(cow, str(tmp_path / "mv"), ["conv_id"], AGGS())
