@@ -157,7 +157,13 @@ class IncrementalRollup:
         base = self.base
         last = self.refreshed_version()
         head = base.latest_version() if to_version is None else int(to_version)
-        live, _, _ = base._state()
+        # pin the live-file view AT `head`: a live ingest daemon may commit
+        # past it between the version capture and this read — an unpinned
+        # state would leak post-head rows into the recompute, making the
+        # MV claim a version it doesn't reflect (self-healing on the next
+        # refresh, but snapshot-pinning makes it exact beside a live
+        # writer — the deployment jobs/mv_job.py runs in)
+        live, _, renames = base._state(head)
         if head <= last:
             return RefreshStats(last, last, 0, 0, 0, len(live), True)
 
@@ -190,7 +196,7 @@ class IncrementalRollup:
             # re-scan the window's delta files for each
             touched_keys = changes.select(*self.group_cols).distinct().persist()
 
-        snap = base._read_files(candidates)
+        snap = base._read_files(candidates, renames=renames)
         agg_exprs = [expr.alias(name) for name, expr in self.aggs.items()]
         if snap is None:
             recomputed = None
