@@ -70,6 +70,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="refresh cycles to run; 0 = forever")
     p.add_argument("--interval", type=float, default=5.0,
                    help="seconds between refresh polls")
+    p.add_argument("--compact-every", type=int, default=32,
+                   help="fold the MV's own delta files down every N "
+                        "non-noop refreshes (each refresh appends one "
+                        "delta set per touched MV bucket); 0 = never")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -87,14 +91,21 @@ def main(argv: list[str] | None = None) -> int:
         n_buckets=args.n_buckets,
     )
     n = 0
+    applied = 0
     while True:
         st = mv.refresh()
         if not st.noop:
+            applied += 1
             print(json.dumps({
                 "from": st.from_version, "to": st.to_version,
                 "groups": st.n_groups_refreshed, "deleted": st.n_groups_deleted,
                 "files_read": st.n_files_read, "files_live": st.n_live_files,
             }), flush=True)
+            if args.compact_every and applied % args.compact_every == 0:
+                # the MV is itself a lake table: fold its per-refresh
+                # delta files down and drop unreferenced ones
+                mv.table.compact(min_files_per_bucket=2)
+                mv.table.vacuum()
         n += 1
         if args.triggers and n >= args.triggers:
             break

@@ -210,6 +210,77 @@ def test_group_cols_must_start_with_bucket_key(spark, base, tmp_path):
         )
 
 
+def test_property_any_change_sequence_matches_full_recompute(
+    spark, tmp_path_factory
+):
+    """Hypothesis: for ANY sequence of upsert/delete events over a small
+    key space, ANY batch split, and ANY refresh cadence (refresh after
+    any subset of batches, final refresh always), the MV equals the full
+    recompute over base.read() — including groups that appear, mutate,
+    and vanish across windows."""
+    import datetime as dt
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    BASE = dt.datetime(2024, 1, 1)
+
+    event_st = st.fixed_dictionaries(
+        {
+            "op": st.sampled_from(["upsert", "upsert", "upsert", "delete"]),
+            "conv": st.sampled_from(["c0", "c1", "c2"]),
+            "turn": st.integers(0, 2),
+            "text": st.text(alphabet="abcxyz ", min_size=0, max_size=10),
+            # coarse ts pool → ties; determinism comes from the per-row
+            # _src_offset tie-break below
+            "sec": st.integers(0, 5),
+        }
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        rows=st.lists(event_st, min_size=1, max_size=24),
+        splits=st.tuples(st.integers(0, 24), st.integers(0, 24)),
+        refresh_mid=st.booleans(),
+    )
+    def prop(rows, splits, refresh_mid):
+        from pyspark.sql import Row
+
+        tmp = tmp_path_factory.mktemp("mvprop")
+        base_t = LakeTable.create(
+            spark, str(tmp / "base"), keys=["conv_id", "turn_idx"],
+            ts_col="ts", n_buckets=2, merge_mode="mor",
+        )
+        mv = IncrementalRollup(
+            base_t, str(tmp / "mv"), group_cols=["conv_id"], aggs=AGGS(),
+            n_buckets=2,
+        )
+        rws = [
+            Row(
+                conv_id=r["conv"], turn_idx=r["turn"], role="user",
+                text=None if r["op"] == "delete" else r["text"], tool=None,
+                ts=BASE + dt.timedelta(seconds=r["sec"]), op=r["op"],
+                _src_file="f", _src_offset=i,
+            )
+            for i, r in enumerate(rows)
+        ]
+        a, b = sorted(min(s, len(rws)) for s in splits)
+        for bi, batch in enumerate((rws[:a], rws[a:b], rws[b:])):
+            if not batch:
+                continue
+            base_t.merge(edf(spark, batch), f"b{bi}")
+            if refresh_mid:
+                mv.refresh()
+        mv.refresh()
+        assert_mv_equals_full(mv, base_t)
+
+    prop()
+
+
 def test_requires_mor_base(spark, tmp_path):
     cow = LakeTable.create(
         spark, str(tmp_path / "cow"), keys=["conv_id", "turn_idx"],
