@@ -469,14 +469,36 @@ class LakeTable:
             return df  # never-written placeholder frame
         return lww_dedup(df, self.keys, self.ts_col)
 
-    def read(self, at_version: int | None = None) -> DataFrame:
+    def read(
+        self, at_version: int | None = None, columns: Sequence[str] | None = None
+    ) -> DataFrame:
         """User-facing view: LWW-resolved (MoR), tombstones filtered,
-        lineage/bucket dropped."""
-        df = self._resolve(self.snapshot(at_version))
+        lineage/bucket dropped.
+
+        ``columns`` prunes the scan BELOW the LWW resolve: the MoR
+        aggregate packs the whole row into a struct (operators/lww.py),
+        which blocks Catalyst's column pruning — a ``read().select("x")``
+        still scans every payload column. Projecting before the resolve
+        pushes the pruning into the parquet ReadSchema (keys, ts and the
+        lineage tie-break are retained internally so LWW determinism is
+        unchanged, then dropped unless requested). At 10^10-row scale the
+        difference is reading one column family instead of the table."""
+        df = self.snapshot(at_version)
+        if columns is not None:
+            missing = [c for c in columns if c not in df.columns]
+            if missing:
+                raise ValueError(f"read(columns=...): not in table: {missing}")
+            need = list(dict.fromkeys(
+                [*columns, *self.keys, self.ts_col]
+                + [c for c in (*LINEAGE_COLS, _OP_COL) if c in df.columns]
+            ))
+            df = df.select(*need)
+        df = self._resolve(df)
         if _OP_COL in df.columns:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
-        return df.drop(*drop)
+        df = df.drop(*drop)
+        return df.select(*columns) if columns is not None else df
 
     def _key_int_width(self) -> int:
         """Byte width Spark's XxHash64 uses for the first key column: 4
@@ -537,6 +559,47 @@ class LakeTable:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
         return df.drop(*drop)
+
+    def delete_where(
+        self,
+        condition,
+        batch_id: str | None = None,
+        needed_columns: Sequence[str] | None = None,
+    ) -> Commit:
+        """Predicate delete — the Iceberg ``DELETE FROM t WHERE ...``
+        analog, and the transcript lake's compliance/retention op
+        ("erase conversation X", "drop turns older than Y"): tombstone
+        every key whose CURRENT resolved row matches ``condition`` (a
+        Column or SQL string over the user-facing view).
+
+        Each tombstone carries the matched row's own ts plus one tick
+        (1µs for timestamps, +1 for numeric ts), so it WINS last-writer-
+        wins against the row it erases regardless of lineage tie-breaks,
+        while events that genuinely arrive later still supersede it —
+        point-in-time delete semantics, not a permanent key ban.
+
+        ``needed_columns``: the columns ``condition`` references —
+        passing them lets the matching scan prune to just those plus
+        keys/ts (see read(columns=...)); without it the match reads the
+        full row. Runs through merge(), so it inherits idempotent
+        batch_id replay and the commit-race retry."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        cols = None
+        if needed_columns is not None:
+            cols = list(dict.fromkeys([*needed_columns, *self.keys, self.ts_col]))
+        snap = self.read(columns=cols).filter(cond)
+        ts_type = dict(snap.dtypes)[self.ts_col]
+        bump = (
+            F.expr("INTERVAL 1 MICROSECOND")
+            if ts_type.startswith("timestamp")
+            else F.lit(1)
+        )
+        tombstones = snap.select(
+            *self.keys,
+            (F.col(self.ts_col) + bump).alias(self.ts_col),
+            F.lit("delete").alias(_OP_COL),
+        )
+        return self.merge(tombstones, batch_id=batch_id)
 
     def read_range(self, ts_from=None, ts_to=None) -> DataFrame:
         """Event-time range read pruned at the FILE level: commits record

@@ -507,6 +507,43 @@ def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETENTION_LAKE_CACHE: dict[str, str] = {}
+
+
+def q_retention_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete (plans/lake.py delete_where — the Iceberg DELETE
+    FROM analog, here the transcript compliance op): upsert every event,
+    then erase all turns whose CURRENT winning row has role='tool'. The
+    tombstones carry the matched rows' own ts + 1µs, so they win LWW
+    against exactly the point-in-time state they targeted; the oracle is
+    the plain final state minus tool-role winners."""
+
+    def build(lake, src):
+        lake.merge(src.drop("event_id"), "b1")
+        c = lake.delete_where(F.col("role") == "tool", batch_id="purge-tools")
+        assert c.metrics["rows_written"] > 0
+
+    lake = _cached_lake(
+        spark, sf_dir, _RETENTION_LAKE_CACHE, "kcfs_lake_ret_", build
+    )
+    return lake.read().select(
+        "conv_id", "turn_idx", "role", "text",
+        F.date_format("ts", TS_FMT_SPARK).alias("last_ts"),
+    )
+
+
+SQL_RETENTION_DELETE_WHERE = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id, turn_idx, role, text,
+       strftime(ts, '{TS_FMT_DUCK}') AS last_ts
+FROM ranked WHERE rn = 1 AND role <> 'tool'
+"""
+
+
 def q_mv_conv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized view over the CDF
     (plans/materialized.py — the CDC downstream the reference's users
@@ -1912,6 +1949,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_schema_evolution": q_lake_schema_evolution,
     "lake_rebucket": q_lake_rebucket,
     "mv_conv_rollup": q_mv_conv_rollup,
+    "retention_delete_where": q_retention_delete_where,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "avro_logical_roundtrip": q_avro_logical_roundtrip,
     "cobol_ingest_roundtrip": q_cobol_ingest_roundtrip,
@@ -1967,6 +2005,7 @@ ORACLES: dict[str, str] = {
     # plain final-state query
     "lake_rebucket": SQL_TRANSCRIPT_FINAL_STATE,
     "mv_conv_rollup": SQL_MV_CONV_ROLLUP,
+    "retention_delete_where": SQL_RETENTION_DELETE_WHERE,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,
     "cobol_ingest_roundtrip": SQL_COBOL_INGEST_ROUNDTRIP,

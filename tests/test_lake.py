@@ -1175,3 +1175,69 @@ def test_set_n_buckets_validates(spark, tmp_path):
         t.set_n_buckets(0)
     with pytest.raises(ValueError):
         t.set_n_buckets(-3)
+
+
+def test_read_columns_prunes_scan_below_lww_resolve(spark, mor_table):
+    """read(columns=["text"]) must push column pruning into the parquet
+    ReadSchema even though the MoR LWW aggregate packs rows into a
+    struct: `role` and `tool` (unrequested payload) may not be scanned,
+    while keys/ts/lineage stay internal to keep the resolve
+    deterministic — and the result equals the unpruned read."""
+    t = mor_table
+    t.merge(edf(spark, [ev("a", 0, "v1", 1), ev("a", 0, "v2", 2),
+                        ev("b", 1, "x", 3)]), "b1")
+    t.merge(edf(spark, [ev("b", 1, "y", 4)]), "b2")
+
+    df = t.read(columns=["conv_id", "text"])
+    assert df.columns == ["conv_id", "text"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, plan
+    for ln in read_schemas:
+        assert "role" not in ln and "tool" not in ln, ln
+        assert "text" in ln
+    got = {(r.conv_id, r.text) for r in df.collect()}
+    want = {(r.conv_id, r.text)
+            for r in t.read().select("conv_id", "text").collect()}
+    assert got == want == {("a", "v2"), ("b", "y")}
+
+    with __import__("pytest").raises(ValueError, match="not in table"):
+        t.read(columns=["nope"])
+
+
+def test_delete_where_tombstones_matching_current_rows(spark, mor_table):
+    """Predicate delete erases exactly the keys whose CURRENT winning row
+    matches — including rows whose older versions didn't match — and a
+    genuinely later upsert still supersedes the tombstone."""
+    t = mor_table
+    t.merge(edf(spark, [
+        ev("a", 0, "keep", 1),
+        ev("b", 0, "purge-me", 2),
+        ev("c", 0, "purge-me", 3),
+        ev("c", 1, "keep", 4),
+    ]), "b1")
+    # c/0's current version no longer matches; b/0 still does
+    t.merge(edf(spark, [ev("c", 0, "keep-now", 5)]), "b2")
+
+    commit = t.delete_where(F.col("text") == "purge-me", batch_id="purge1")
+    assert commit.metrics["rows_written"] == 1  # only b/0 matched
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got == {("a", 0): "keep", ("c", 0): "keep-now", ("c", 1): "keep"}
+
+    # replaying the same batch_id is a no-op (inherited from merge)
+    again = t.delete_where(F.col("text") == "purge-me", batch_id="purge1")
+    assert again.version == commit.version
+
+    # a later event for the deleted key wins over the tombstone
+    t.merge(edf(spark, [ev("b", 0, "reborn", 99)]), "b3")
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read().collect()}
+    assert got[("b", 0)] == "reborn"
+
+
+def test_delete_where_sql_string_and_column_hint(spark, mor_table):
+    """SQL-string predicates work, and needed_columns prunes the matching
+    scan's ReadSchema to predicate + key/ts columns."""
+    t = mor_table
+    t.merge(edf(spark, [ev("a", 0, "x", 1), ev("b", 0, "yy", 2)]), "b1")
+    t.delete_where("length(text) > 1", needed_columns=["text"])
+    assert {r.conv_id for r in t.read().collect()} == {"a"}
