@@ -39,6 +39,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--min-age-seconds", type=float, default=3600.0,
                    help="skip unreferenced files younger than this — "
                         "guards concurrent writers mid-commit")
+    d = sub.add_parser("delete-where",
+                       help="predicate delete (retention / compliance): "
+                            "tombstone keys whose current row matches")
+    d.add_argument("--condition", required=True,
+                   help="SQL boolean over the table's user-facing "
+                        "columns, e.g. \"ts < TIMESTAMP '2023-01-01'\" "
+                        "or \"conv_id = 'conv_000123'\"")
+    d.add_argument("--batch-id", default=None,
+                   help="idempotency key: re-running with the same id "
+                        "is a no-op")
+    d.add_argument("--needed-columns", default=None,
+                   help="comma-separated columns the condition reads — "
+                        "prunes the matching scan")
     args = p.parse_args(argv)
 
     import datetime as dt
@@ -67,6 +80,15 @@ def main(argv: list[str] | None = None) -> int:
             retain_versions=args.retain_versions,
             min_age_seconds=args.min_age_seconds,
         )
+    elif args.cmd == "delete-where":
+        commit = table.delete_where(
+            args.condition,
+            batch_id=args.batch_id,
+            needed_columns=(
+                args.needed_columns.split(",") if args.needed_columns else None
+            ),
+        )
+        out["commit"] = commit.metrics
     print(json.dumps(out))
     return 0
 

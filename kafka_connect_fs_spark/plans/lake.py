@@ -601,7 +601,9 @@ class LakeTable:
         )
         return self.merge(tombstones, batch_id=batch_id)
 
-    def read_range(self, ts_from=None, ts_to=None) -> DataFrame:
+    def read_range(
+        self, ts_from=None, ts_to=None, columns: Sequence[str] | None = None
+    ) -> DataFrame:
         """Event-time range read pruned at the FILE level: commits record
         per-file [ts_min, ts_max] from the parquet footers (the manifest
         column stats Iceberg keeps), so a query over the last day of a
@@ -613,11 +615,24 @@ class LakeTable:
         Rows are filtered to ts_from <= ts < ts_to; in MoR mode, versions
         are resolved among the in-range files — i.e. "latest state of the
         keys as touched within the window", the incremental-export
-        semantics. Files with unknown stats are conservatively read."""
+        semantics. Files with unknown stats are conservatively read.
+
+        ``columns`` prunes the scan below the LWW resolve exactly like
+        ``read(columns=...)`` — an incremental export of two columns
+        should not read twenty."""
         files = self.files_in_range(ts_from, ts_to)
         df = self._read_files(files)
         if df is None:
             return self.read().limit(0)
+        if columns is not None:
+            missing = [c for c in columns if c not in df.columns]
+            if missing:
+                raise ValueError(f"read_range(columns=...): not in table: {missing}")
+            need = list(dict.fromkeys(
+                [*columns, *self.keys, self.ts_col]
+                + [c for c in (*LINEAGE_COLS, _OP_COL) if c in df.columns]
+            ))
+            df = df.select(*need)
         if ts_from is not None:
             df = df.filter(F.col(self.ts_col) >= F.lit(ts_from))
         if ts_to is not None:
@@ -626,7 +641,8 @@ class LakeTable:
         if _OP_COL in df.columns:
             df = df.filter(F.col(_OP_COL) != F.lit("delete"))
         drop = [c for c in (*LINEAGE_COLS, _BUCKET_COL, _OP_COL) if c in df.columns]
-        return df.drop(*drop)
+        df = df.drop(*drop)
+        return df.select(*columns) if columns is not None else df
 
     def read_changes(
         self, from_version: int, to_version: int | None = None

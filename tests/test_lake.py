@@ -1241,3 +1241,15 @@ def test_delete_where_sql_string_and_column_hint(spark, mor_table):
     t.merge(edf(spark, [ev("a", 0, "x", 1), ev("b", 0, "yy", 2)]), "b1")
     t.delete_where("length(text) > 1", needed_columns=["text"])
     assert {r.conv_id for r in t.read().collect()} == {"a"}
+
+
+def test_read_range_columns_pruned(spark, mor_table):
+    """read_range(columns=...) prunes the scan like read(columns=...)."""
+    t = mor_table
+    t.merge(edf(spark, [ev("a", 0, "early", 1), ev("b", 0, "late", 50)]), "b1")
+    df = t.read_range(ts_from=ts(10), columns=["text"])
+    assert df.columns == ["text"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for ln in (l for l in plan.splitlines() if "ReadSchema" in l):
+        assert "role" not in ln and "tool" not in ln, ln
+    assert [r.text for r in df.collect()] == ["late"]
