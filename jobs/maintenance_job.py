@@ -88,7 +88,7 @@ def main(argv: list[str] | None = None) -> int:
                 args.needed_columns.split(",") if args.needed_columns else None
             ),
         )
-        out["commit"] = commit.metrics
+        out["commit"] = commit.metrics if commit else None
     print(json.dumps(out))
     return 0
 

@@ -488,10 +488,15 @@ class LakeTable:
             missing = [c for c in columns if c not in df.columns]
             if missing:
                 raise ValueError(f"read(columns=...): not in table: {missing}")
-            need = list(dict.fromkeys(
-                [*columns, *self.keys, self.ts_col]
-                + [c for c in (*LINEAGE_COLS, _OP_COL) if c in df.columns]
-            ))
+            # keep only internals the frame actually has: a never-written
+            # table's placeholder frame is keys-only (no ts/lineage)
+            need = [
+                c
+                for c in dict.fromkeys(
+                    [*columns, *self.keys, self.ts_col, *LINEAGE_COLS, _OP_COL]
+                )
+                if c in df.columns
+            ]
             df = df.select(*need)
         df = self._resolve(df)
         if _OP_COL in df.columns:
@@ -565,7 +570,7 @@ class LakeTable:
         condition,
         batch_id: str | None = None,
         needed_columns: Sequence[str] | None = None,
-    ) -> Commit:
+    ) -> Commit | None:
         """Predicate delete — the Iceberg ``DELETE FROM t WHERE ...``
         analog, and the transcript lake's compliance/retention op
         ("erase conversation X", "drop turns older than Y"): tombstone
@@ -582,18 +587,35 @@ class LakeTable:
         passing them lets the matching scan prune to just those plus
         keys/ts (see read(columns=...)); without it the match reads the
         full row. Runs through merge(), so it inherits idempotent
-        batch_id replay and the commit-race retry."""
+        batch_id replay and the commit-race retry.
+
+        Returns None (no commit) when the table has never been written —
+        a retention cron against a fresh table is a no-op, not a crash.
+        Requires a timestamp or numeric ``ts_col``: a string ts has no
+        type-safe "+1 tick" (string + 1 casts to double and yields NULL
+        tombstone timestamps that silently LOSE the LWW they must win)."""
+        live, _, _ = self._state()
+        if not live:
+            return None  # never-written (or fully vacuumed) table
         cond = F.expr(condition) if isinstance(condition, str) else condition
         cols = None
         if needed_columns is not None:
             cols = list(dict.fromkeys([*needed_columns, *self.keys, self.ts_col]))
         snap = self.read(columns=cols).filter(cond)
         ts_type = dict(snap.dtypes)[self.ts_col]
-        bump = (
-            F.expr("INTERVAL 1 MICROSECOND")
-            if ts_type.startswith("timestamp")
-            else F.lit(1)
-        )
+        if ts_type.startswith("timestamp"):
+            bump = F.expr("INTERVAL 1 MICROSECOND")
+        elif ts_type in ("int", "bigint", "smallint", "tinyint", "long",
+                         "double", "float", "decimal") or ts_type.startswith(
+            "decimal"
+        ):
+            bump = F.lit(1)
+        else:
+            raise ValueError(
+                f"delete_where needs a timestamp or numeric ts column to "
+                f"bump past the matched row; ts_col {self.ts_col!r} is "
+                f"{ts_type!r} — write explicit tombstones via merge() instead"
+            )
         tombstones = snap.select(
             *self.keys,
             (F.col(self.ts_col) + bump).alias(self.ts_col),
@@ -623,15 +645,29 @@ class LakeTable:
         files = self.files_in_range(ts_from, ts_to)
         df = self._read_files(files)
         if df is None:
-            return self.read().limit(0)
+            # empty window: still honor the projection contract (schema
+            # stability for callers unioning per-window pages) and the
+            # unknown-column validation
+            empty = self.read().limit(0)
+            if columns is not None:
+                missing = [c for c in columns if c not in empty.columns]
+                if missing:
+                    raise ValueError(
+                        f"read_range(columns=...): not in table: {missing}"
+                    )
+                empty = empty.select(*columns)
+            return empty
         if columns is not None:
             missing = [c for c in columns if c not in df.columns]
             if missing:
                 raise ValueError(f"read_range(columns=...): not in table: {missing}")
-            need = list(dict.fromkeys(
-                [*columns, *self.keys, self.ts_col]
-                + [c for c in (*LINEAGE_COLS, _OP_COL) if c in df.columns]
-            ))
+            need = [
+                c
+                for c in dict.fromkeys(
+                    [*columns, *self.keys, self.ts_col, *LINEAGE_COLS, _OP_COL]
+                )
+                if c in df.columns
+            ]
             df = df.select(*need)
         if ts_from is not None:
             df = df.filter(F.col(self.ts_col) >= F.lit(ts_from))

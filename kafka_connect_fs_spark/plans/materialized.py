@@ -87,17 +87,40 @@ class IncrementalRollup:
                 f"{base.keys[0]!r} (got {group_cols!r}) — grouping by the "
                 f"bucket key is what co-locates a group in one bucket"
             )
+        not_keys = [c for c in group_cols if c not in base.keys]
+        if not_keys:
+            # non-key group columns break incremental maintenance in two
+            # ways: an upsert that CHANGES the column moves the row to a
+            # new group but the old group (derived from the change feed's
+            # NEW values) is never recomputed, and delete tombstones
+            # carry only key columns so their group is unresolvable
+            raise ValueError(
+                f"group_cols must be base key columns {base.keys!r}; "
+                f"{not_keys!r} are payload columns — a row's group would "
+                f"change under upsert, which partial recompute cannot track"
+            )
         self.base = base
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
-        self.table = (
-            LakeTable(base.spark, root)
-            if LakeTable.exists(root)
-            else LakeTable.create(
+        if LakeTable.exists(root):
+            self.table = LakeTable(base.spark, root)
+            if (
+                self.table.keys != self.group_cols
+                or self.table.ts_col != _MV_TS
+            ):
+                # e.g. a tailer restarted with different --group-cols
+                # against the old --mv root: merging differently-keyed
+                # rows into it would corrupt the MV silently
+                raise ValueError(
+                    f"existing MV at {root!r} is keyed "
+                    f"{self.table.keys!r} (ts {self.table.ts_col!r}), "
+                    f"which does not match group_cols {self.group_cols!r}"
+                )
+        else:
+            self.table = LakeTable.create(
                 base.spark, root, keys=self.group_cols, ts_col=_MV_TS,
                 n_buckets=n_buckets, merge_mode="mor",
             )
-        )
 
     # ------------------------------------------------------------ state
     def refreshed_version(self) -> int:
@@ -172,12 +195,17 @@ class IncrementalRollup:
             candidates = list(live)
             touched_keys = None
         else:
+            # filter by the version encoded in the FILENAME before parsing
+            # anything — a cold tailer against a 10^5-commit log must read
+            # O(window) commit files, not O(log)
             window = [
                 c
                 for c in (
-                    base._load_commit(n) for n in base._list_commit_names()
+                    base._load_commit(n)
+                    for n in base._list_commit_names()
+                    if last < int(n[:20]) <= head
                 )
-                if last < c.version <= head and c.batch_id is not None and c.added
+                if c.batch_id is not None and c.added
             ]
             if not window:
                 # only maintenance / metadata commits in the window: no

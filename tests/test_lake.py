@@ -1253,3 +1253,44 @@ def test_read_range_columns_pruned(spark, mor_table):
     for ln in (l for l in plan.splitlines() if "ReadSchema" in l):
         assert "role" not in ln and "tool" not in ln, ln
     assert [r.text for r in df.collect()] == ["late"]
+
+
+def test_read_columns_and_delete_where_on_never_written_table(spark, tmp_path):
+    """Fresh (created, never merged) tables: read(columns=keys) returns
+    an empty keyed frame, delete_where is a no-op returning None — a
+    retention cron against a new table must not crash."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "fresh"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    df = t.read(columns=["conv_id"])
+    assert df.columns == ["conv_id"] and df.count() == 0
+    assert t.delete_where("conv_id = 'x'", needed_columns=["conv_id"]) is None
+
+
+def test_read_range_empty_window_keeps_projection_contract(spark, mor_table):
+    """A window pruned to zero files must still return the projected
+    schema (callers union per-window pages) and still validate columns."""
+    t = mor_table
+    t.merge(edf(spark, [ev("a", 0, "x", 1)]), "b1")
+    empty = t.read_range(ts_from=ts(10**6), ts_to=ts(10**6 + 1),
+                         columns=["conv_id", "text"])
+    assert empty.columns == ["conv_id", "text"] and empty.count() == 0
+    with pytest.raises(ValueError, match="not in table"):
+        t.read_range(ts_from=ts(10**6), ts_to=ts(10**6 + 1), columns=["nope"])
+
+
+def test_delete_where_rejects_string_ts(spark, tmp_path):
+    """A string ts has no type-safe +1 tick (string + 1 → NULL tombstone
+    ts that silently LOSES LWW) — delete_where must refuse loudly."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "s"), keys=["k"], ts_col="ts",
+        n_buckets=2, merge_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([("a", "2024-01-01T00:00:00", "v")],
+                              "k string, ts string, text string"),
+        "b1",
+    )
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        t.delete_where("text = 'v'")

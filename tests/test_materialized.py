@@ -288,3 +288,30 @@ def test_requires_mor_base(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="MoR"):
         IncrementalRollup(cow, str(tmp_path / "mv"), ["conv_id"], AGGS())
+
+
+def test_group_cols_must_all_be_key_columns(spark, base, tmp_path):
+    """Non-key group columns break partial recompute (a row's group could
+    change under upsert; tombstones lack payload columns) — rejected."""
+    with pytest.raises(ValueError, match="payload columns"):
+        IncrementalRollup(
+            base, str(tmp_path / "mv"), group_cols=["conv_id", "role"],
+            aggs=AGGS(),
+        )
+
+
+def test_reopen_with_mismatched_group_cols_rejected(spark, tmp_path):
+    """A tailer restarted with different --group-cols against the old
+    --mv root must fail loudly, not merge differently-keyed rows."""
+    base_t = LakeTable.create(
+        spark, str(tmp_path / "b2"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=4, merge_mode="mor",
+    )
+    IncrementalRollup(
+        base_t, str(tmp_path / "mv"), group_cols=["conv_id", "turn_idx"],
+        aggs=AGGS(),
+    )
+    with pytest.raises(ValueError, match="does not match group_cols"):
+        IncrementalRollup(
+            base_t, str(tmp_path / "mv"), group_cols=["conv_id"], aggs=AGGS()
+        )
