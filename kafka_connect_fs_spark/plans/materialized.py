@@ -20,9 +20,12 @@ upserts, deletes and late data):
    per live scheme with one tiny aggregate over the change feed).
 2. Only those buckets' live files are re-read (a group's rows co-locate
    in one bucket because grouping starts with the bucket key), LWW-
-   resolved, semi-joined to the window's touched group keys, and
+   resolved, semi-joined to the window's touched BUCKET KEYS, and
    re-aggregated — cost scales with the batch, not the table.
-3. Groups whose rows all vanished become op='delete' tombstones.
+3. Groups the MV previously held for the touched keys that no longer
+   exist (fully-deleted conversations, rows that moved out of a
+   payload-column group) become op='delete' tombstones — the previous
+   groups come from the MV itself, never from the change rows' values.
 4. The result MERGEs into the MV — itself a ``LakeTable`` keyed by the
    group columns with LWW on the refresh version, so the MV inherits the
    lake's exactly-once machinery: the refresh batch_id is derived from
@@ -66,9 +69,14 @@ class IncrementalRollup:
 
     ``group_cols`` must start with the base table's bucket key
     (``base.keys[0]``) — that is what co-locates every row of a group in
-    one bucket and lets the refresh prune to touched buckets. ``aggs``
-    maps output column name -> Spark aggregate Column over the resolved
-    base rows, e.g. ``{"n_turns": F.count(F.lit(1))}``.
+    one bucket and lets the refresh prune to touched buckets. Further
+    group columns may be ANY base columns, key or payload (a role, a
+    derived time bucket): the refresh tracks touched BUCKET KEYS and
+    recomputes every group they contribute to, tombstoning the groups
+    the MV previously held for them that no longer exist — so a row
+    moving between payload-column groups under upsert stays consistent.
+    ``aggs`` maps output column name -> Spark aggregate Column over the
+    resolved base rows, e.g. ``{"n_turns": F.count(F.lit(1))}``.
     """
 
     def __init__(
@@ -87,18 +95,8 @@ class IncrementalRollup:
                 f"{base.keys[0]!r} (got {group_cols!r}) — grouping by the "
                 f"bucket key is what co-locates a group in one bucket"
             )
-        not_keys = [c for c in group_cols if c not in base.keys]
-        if not_keys:
-            # non-key group columns break incremental maintenance in two
-            # ways: an upsert that CHANGES the column moves the row to a
-            # new group but the old group (derived from the change feed's
-            # NEW values) is never recomputed, and delete tombstones
-            # carry only key columns so their group is unresolvable
-            raise ValueError(
-                f"group_cols must be base key columns {base.keys!r}; "
-                f"{not_keys!r} are payload columns — a row's group would "
-                f"change under upsert, which partial recompute cannot track"
-            )
+        if len(set(group_cols)) != len(group_cols):
+            raise ValueError(f"duplicate group_cols: {group_cols!r}")
         self.base = base
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
@@ -220,9 +218,18 @@ class IncrementalRollup:
                 for p, a in live.items()
                 if a["bucket"] in by_scheme.get(a.get("scheme", default), ())
             ]
-            # feeds the semi-join AND the vanished-group anti-join — don't
-            # re-scan the window's delta files for each
-            touched_keys = changes.select(*self.group_cols).distinct().persist()
+            # touched BUCKET KEYS, not touched group values: change rows
+            # carry only their NEW column values (and delete tombstones
+            # carry keys alone), so deriving groups from the change feed
+            # would miss the group a row LEFT under an upsert that moved
+            # a payload group column. The bucket key is immutable per row
+            # identity and present on every change row; recomputing every
+            # group the touched keys contribute to — and tombstoning the
+            # groups the MV previously held for them — is correct for
+            # arbitrary group columns (role, time windows, ...).
+            # persist: feeds the semi-join AND the gone-group anti-join
+            bk = self.group_cols[0]
+            touched_keys = changes.select(bk).distinct().persist()
 
         snap = base._read_files(candidates, renames=renames)
         agg_exprs = [expr.alias(name) for name, expr in self.aggs.items()]
@@ -233,7 +240,9 @@ class IncrementalRollup:
             if "op" in snap.columns:
                 snap = snap.filter(F.col("op") != F.lit("delete"))
             if touched_keys is not None:
-                snap = snap.join(touched_keys, on=self.group_cols, how="left_semi")
+                snap = snap.join(
+                    touched_keys, on=[self.group_cols[0]], how="left_semi"
+                )
             recomputed = snap.groupBy(*self.group_cols).agg(*agg_exprs)
 
         mv_rows = None
@@ -246,9 +255,12 @@ class IncrementalRollup:
             )
         n_deleted = 0
         if touched_keys is not None:
-            # groups whose every row vanished (full-conversation deletes):
-            # tombstone them out of the MV. Null agg columns must match the
-            # upsert side's types or the union below rejects the plan.
+            # groups the MV previously held for the touched keys but that
+            # no longer exist — a fully-deleted conversation, or rows that
+            # MOVED out of a payload-column group (e.g. a role rewrite, a
+            # turn leaving a time window). The previous groups come from
+            # the MV itself, not the change feed. Null agg columns must
+            # match the upsert side's types or the union rejects the plan.
             agg_types = {}
             if recomputed is not None:
                 agg_types = {f.name: f.dataType for f in recomputed.schema.fields}
@@ -256,15 +268,21 @@ class IncrementalRollup:
                 agg_types = {
                     f.name: f.dataType for f in self.table.read().schema.fields
                 }
-            gone = touched_keys
+            # the MV is one row per group — orders of magnitude smaller
+            # than the base; bucket-pruning this read via the MV's own
+            # manifests is a possible future step
+            gone = (
+                self.table.read()
+                .join(touched_keys, on=[self.group_cols[0]], how="left_semi")
+                .select(*self.group_cols)
+            )
             if recomputed is not None:
                 gone = gone.join(
                     recomputed.select(*self.group_cols),
                     on=self.group_cols,
                     how="left_anti",
                 )
-            # bounded: ⊆ the window's touched groups, and nonempty only
-            # when entire conversations were deleted
+            # bounded: ⊆ the touched keys' previous groups
             n_deleted = gone.count()
             if n_deleted:
                 gone_rows = gone.select(

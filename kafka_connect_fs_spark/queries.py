@@ -507,6 +507,54 @@ def q_lake_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mv_role_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized view grouped by a PAYLOAD column — (conv_id, role):
+    the general IVM case where an upsert can move a row between groups.
+    Touched groups derive from touched bucket keys plus the MV's own
+    previous groups (plans/materialized.py), never from the change rows'
+    new values; built at batch 1, incrementally absorbs batch 2 (whose
+    turn rewrites DO move rows across role groups), must equal a
+    from-scratch (conv, role) rollup of the final LWW state."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_connect_fs_spark.plans.materialized import IncrementalRollup
+
+    lake = _build_split_lake(spark, sf_dir)
+    v1 = lake.get_commit_by_batch_id("b1").version
+    base = tempfile.mkdtemp(prefix="kcfs_mvr_q_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    mv = IncrementalRollup(
+        lake,
+        os.path.join(base, "mv"),
+        group_cols=["conv_id", "role"],
+        aggs={
+            "n_turns": F.count(F.lit(1)),
+            "total_chars": F.sum(F.length("text")),
+        },
+        n_buckets=8,
+    )
+    mv.refresh(to_version=v1)
+    st = mv.refresh()
+    assert st.partial and st.from_version == v1, st
+    return mv.read().select("conv_id", "role", "n_turns", "total_chars")
+
+
+SQL_MV_ROLE_ROLLUP = f"""
+WITH ev AS ({SQL_TRANSCRIPT_SYNTH}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ev)
+SELECT conv_id, role,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM ranked WHERE rn = 1
+GROUP BY conv_id, role
+"""
+
+
 _RETENTION_LAKE_CACHE: dict[str, str] = {}
 
 
@@ -1949,6 +1997,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lake_schema_evolution": q_lake_schema_evolution,
     "lake_rebucket": q_lake_rebucket,
     "mv_conv_rollup": q_mv_conv_rollup,
+    "mv_role_rollup": q_mv_role_rollup,
     "retention_delete_where": q_retention_delete_where,
     "avro_ingest_roundtrip": q_avro_ingest_roundtrip,
     "avro_logical_roundtrip": q_avro_logical_roundtrip,
@@ -2005,6 +2054,7 @@ ORACLES: dict[str, str] = {
     # plain final-state query
     "lake_rebucket": SQL_TRANSCRIPT_FINAL_STATE,
     "mv_conv_rollup": SQL_MV_CONV_ROLLUP,
+    "mv_role_rollup": SQL_MV_ROLE_ROLLUP,
     "retention_delete_where": SQL_RETENTION_DELETE_WHERE,
     "avro_ingest_roundtrip": SQL_AVRO_INGEST_ROUNDTRIP,
     "avro_logical_roundtrip": SQL_AVRO_LOGICAL_ROUNDTRIP,

@@ -290,14 +290,50 @@ def test_requires_mor_base(spark, tmp_path):
         IncrementalRollup(cow, str(tmp_path / "mv"), ["conv_id"], AGGS())
 
 
-def test_group_cols_must_all_be_key_columns(spark, base, tmp_path):
-    """Non-key group columns break partial recompute (a row's group could
-    change under upsert; tombstones lack payload columns) — rejected."""
-    with pytest.raises(ValueError, match="payload columns"):
-        IncrementalRollup(
-            base, str(tmp_path / "mv"), group_cols=["conv_id", "role"],
-            aggs=AGGS(),
-        )
+def test_payload_group_column_tracks_rows_moving_between_groups(
+    spark, base, tmp_path
+):
+    """Grouping by a PAYLOAD column (conv_id, role): an upsert that
+    changes a turn's role moves the row to a new group — the old group
+    must be recomputed (or tombstoned when emptied), which is exactly
+    what deriving touched groups from the change feed's new values would
+    miss."""
+    from pyspark.sql import Row
+
+    def mk(conv, turn, role, text, t):
+        return Row(conv_id=conv, turn_idx=turn, role=role, text=text,
+                   tool=None, ts=ts(t), op="upsert", _src_file="f",
+                   _src_offset=t)
+
+    base.merge(edf(spark, [
+        mk("c1", 0, "user", "u0", 1),
+        mk("c1", 1, "tool", "t1", 2),   # the ONLY tool turn
+        mk("c2", 0, "user", "u0", 3),
+    ]), "b1")
+    mv = IncrementalRollup(
+        base, str(tmp_path / "mv"), group_cols=["conv_id", "role"],
+        aggs={"n": F.count(F.lit(1))}, n_buckets=4,
+    )
+    mv.refresh()
+    got = {(r.conv_id, r.role): r.n for r in mv.read().collect()}
+    assert got == {("c1", "user"): 1, ("c1", "tool"): 1, ("c2", "user"): 1}
+
+    # rewrite c1 turn 1 from role=tool to role=user: (c1, tool) empties
+    base.merge(edf(spark, [mk("c1", 1, "user", "t1-fixed", 50)]), "b2")
+    st = mv.refresh()
+    assert st.partial and st.n_groups_deleted == 1  # (c1, tool) tombstoned
+    got = {(r.conv_id, r.role): r.n for r in mv.read().collect()}
+    assert got == {("c1", "user"): 2, ("c2", "user"): 1}
+
+    # a delete-only window must also work (tombstones carry keys only)
+    base.merge(edf(spark, [
+        Row(conv_id="c2", turn_idx=0, role=None, text=None, tool=None,
+            ts=ts(99), op="delete", _src_file="f", _src_offset=99),
+    ]), "b3")
+    st = mv.refresh()
+    assert st.n_groups_deleted == 1  # (c2, user) gone
+    got = {(r.conv_id, r.role): r.n for r in mv.read().collect()}
+    assert got == {("c1", "user"): 2}
 
 
 def test_reopen_with_mismatched_group_cols_rejected(spark, tmp_path):
