@@ -77,6 +77,12 @@ class IncrementalRollup:
     moving between payload-column groups under upsert stays consistent.
     ``aggs`` maps output column name -> Spark aggregate Column over the
     resolved base rows, e.g. ``{"n_turns": F.count(F.lit(1))}``.
+
+    ``derived`` maps new column name -> Column expression computed over
+    the resolved base rows before grouping — the time-window rollup
+    case: ``derived={"day": F.to_date("ts")}, group_cols=["conv_id",
+    "day"]``. A ts rewrite that moves a turn to another day empties or
+    recomputes the old day group like any payload-column move.
     """
 
     def __init__(
@@ -86,6 +92,7 @@ class IncrementalRollup:
         group_cols: list[str],
         aggs: dict[str, Column],
         n_buckets: int = 16,
+        derived: dict[str, Column] | None = None,
     ):
         if base.merge_mode != "mor":
             raise ValueError("IncrementalRollup requires a MoR base table")
@@ -97,9 +104,15 @@ class IncrementalRollup:
             )
         if len(set(group_cols)) != len(group_cols):
             raise ValueError(f"duplicate group_cols: {group_cols!r}")
+        if derived and group_cols[0] in derived:
+            raise ValueError(
+                f"the bucket key {group_cols[0]!r} cannot be a derived "
+                f"column — bucket co-location needs the physical key"
+            )
         self.base = base
         self.group_cols = list(group_cols)
         self.aggs = dict(aggs)
+        self.derived = dict(derived or {})
         if LakeTable.exists(root):
             self.table = LakeTable(base.spark, root)
             if (
@@ -243,6 +256,8 @@ class IncrementalRollup:
                 snap = snap.join(
                     touched_keys, on=[self.group_cols[0]], how="left_semi"
                 )
+            for name, expr in self.derived.items():
+                snap = snap.withColumn(name, expr)
             recomputed = snap.groupBy(*self.group_cols).agg(*agg_exprs)
 
         mv_rows = None

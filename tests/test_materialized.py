@@ -351,3 +351,48 @@ def test_reopen_with_mismatched_group_cols_rejected(spark, tmp_path):
         IncrementalRollup(
             base_t, str(tmp_path / "mv"), group_cols=["conv_id"], aggs=AGGS()
         )
+
+
+def test_derived_day_window_rollup_tracks_ts_moves(spark, base, tmp_path):
+    """Time-window MV: group by (conv_id, day) with day derived from ts.
+    A ts rewrite moving a turn to another day must recompute the old day
+    group — and tombstone it when it empties."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    def mk(conv, turn, text, day, sec):
+        return Row(conv_id=conv, turn_idx=turn, role="user", text=text,
+                   tool=None,
+                   ts=dt.datetime(2024, 1, day) + dt.timedelta(seconds=sec),
+                   op="upsert", _src_file="f", _src_offset=sec)
+
+    base.merge(edf(spark, [
+        mk("c1", 0, "d1-only", 1, 1),     # the ONLY Jan-1 turn
+        mk("c1", 1, "d2-a", 2, 2),
+        mk("c2", 0, "d2-b", 2, 3),
+    ]), "b1")
+    mv = IncrementalRollup(
+        base, str(tmp_path / "mv"), group_cols=["conv_id", "day"],
+        aggs={"n": F.count(F.lit(1))},
+        derived={"day": F.to_date("ts")}, n_buckets=4,
+    )
+    mv.refresh()
+    got = {(r.conv_id, str(r.day)): r.n for r in mv.read().collect()}
+    assert got == {("c1", "2024-01-01"): 1, ("c1", "2024-01-02"): 1,
+                   ("c2", "2024-01-02"): 1}
+
+    # move c1 turn 0 from Jan 1 to Jan 3: the Jan-1 group empties
+    base.merge(edf(spark, [mk("c1", 0, "moved", 3, 100)]), "b2")
+    st = mv.refresh()
+    assert st.partial and st.n_groups_deleted == 1
+    got = {(r.conv_id, str(r.day)): r.n for r in mv.read().collect()}
+    assert got == {("c1", "2024-01-02"): 1, ("c1", "2024-01-03"): 1,
+                   ("c2", "2024-01-02"): 1}
+
+    with pytest.raises(ValueError, match="cannot be a derived"):
+        IncrementalRollup(
+            base, str(tmp_path / "mv2"), group_cols=["conv_id"],
+            aggs={"n": F.count(F.lit(1))},
+            derived={"conv_id": F.upper("conv_id")},
+        )
