@@ -182,6 +182,52 @@ class IncrementalRollup:
         )
         return {s: set(row[f"s{s}"]) for s in sorted_schemes}
 
+    def _read_prev_groups(
+        self, touched_keys: DataFrame, known: dict[int, set[int]] | None = None
+    ) -> DataFrame:
+        """The MV's previous groups for the touched bucket keys, reading
+        ONLY the MV files in buckets those keys hash to (per-file manifest
+        scheme, exactly like LakeTable.read_key) — gone-group detection
+        without a full-MV scan per refresh cycle.
+
+        ``known`` carries the BASE refresh window's scheme→touched-bucket
+        sets: a bucket id is a pure function of (key value, modulus), so
+        any MV scheme equal to a base scheme reuses the base's
+        manifest-derived set with zero Spark jobs (the common case — MV
+        and base share a bucket count). Only schemes not covered run one
+        tiny aggregate (≤ n_buckets ints per scheme to the driver)."""
+        mv = self.table
+        live, _, renames = mv._state()
+        if not live:
+            return mv.read().select(*self.group_cols).limit(0)
+        bk = self.group_cols[0]
+        default = mv._base_n_buckets
+        schemes = sorted({a.get("scheme", default) for a in live.values()})
+        by_scheme = {s: set(known[s]) for s in schemes if known and s in known}
+        missing = [s for s in schemes if s not in by_scheme]
+        if missing:
+            row = touched_keys.agg(
+                *[
+                    F.collect_set(
+                        F.pmod(F.xxhash64(F.col(bk)), F.lit(s)).cast("int")
+                    ).alias(f"s{s}")
+                    for s in missing
+                ]
+            ).collect()[0]
+            by_scheme.update({s: set(row[f"s{s}"]) for s in missing})
+        files = [
+            p
+            for p, a in live.items()
+            if a["bucket"] in by_scheme[a.get("scheme", default)]
+        ]
+        df = mv._read_files(files, renames=renames)
+        if df is None:
+            return mv.read().select(*self.group_cols).limit(0)
+        df = mv._resolve(df)
+        if "op" in df.columns:
+            df = df.filter(F.col("op") != F.lit("delete"))
+        return df.select(*self.group_cols)
+
     def refresh(self, to_version: int | None = None) -> RefreshStats:
         """Bring the MV up to ``to_version`` (default: the base head).
 
@@ -259,6 +305,12 @@ class IncrementalRollup:
             for name, expr in self.derived.items():
                 snap = snap.withColumn(name, expr)
             recomputed = snap.groupBy(*self.group_cols).agg(*agg_exprs)
+            if touched_keys is not None:
+                # the partial path consumes `recomputed` twice (the gone-
+                # group anti-join/count AND the MV merge write): persist so
+                # the touched-bucket read + resolve + re-aggregation runs
+                # once per refresh, not once per consumer
+                recomputed = recomputed.persist()
 
         mv_rows = None
         if recomputed is not None:
@@ -283,21 +335,36 @@ class IncrementalRollup:
                 agg_types = {
                     f.name: f.dataType for f in self.table.read().schema.fields
                 }
-            # the MV is one row per group — orders of magnitude smaller
-            # than the base; bucket-pruning this read via the MV's own
-            # manifests is a possible future step
-            gone = (
-                self.table.read()
-                .join(touched_keys, on=[self.group_cols[0]], how="left_semi")
-                .select(*self.group_cols)
-            )
+            # the MV shares the base's bucket key (group_cols[0]), so the
+            # touched keys map straight to MV buckets: read only those MV
+            # files (per-file manifest scheme, exactly like read_key) —
+            # at 10^8 groups this turns a full-MV scan per refresh into
+            # O(touched buckets' files)
+            prev = self._read_prev_groups(touched_keys, known=by_scheme)
+            gone = prev.join(
+                touched_keys,
+                on=prev[self.group_cols[0]].eqNullSafe(
+                    touched_keys[self.group_cols[0]]
+                ),
+                how="left_semi",
+            ).select(*self.group_cols)
             if recomputed is not None:
+                # null-safe equality: a group holding NULL in any group
+                # column (NULL role, to_date of NULL ts) must match its own
+                # recomputed row — plain equality would classify it gone
+                # and emit delete + upsert at the same mv_version (LWW
+                # winner arbitrary → nondeterministically dropped group)
+                rc = recomputed.select(*self.group_cols)
                 gone = gone.join(
-                    recomputed.select(*self.group_cols),
-                    on=self.group_cols,
+                    rc,
+                    on=[
+                        gone[c].eqNullSafe(rc[c]) for c in self.group_cols
+                    ],
                     how="left_anti",
                 )
-            # bounded: ⊆ the touched keys' previous groups
+            # bounded: ⊆ the touched keys' previous groups. Persisted: the
+            # count here and the MV merge below both consume it
+            gone = gone.persist()
             n_deleted = gone.count()
             if n_deleted:
                 gone_rows = gone.select(
@@ -325,6 +392,9 @@ class IncrementalRollup:
             n_groups = int(commit.metrics.get("rows_written", 0)) - n_deleted
         if touched_keys is not None:
             touched_keys.unpersist()
+            gone.unpersist()
+            if recomputed is not None:
+                recomputed.unpersist()
         return RefreshStats(
             last, head, n_groups, n_deleted, len(candidates), len(live),
             partial=not initial,

@@ -396,3 +396,56 @@ def test_derived_day_window_rollup_tracks_ts_moves(spark, base, tmp_path):
             aggs={"n": F.count(F.lit(1))},
             derived={"conv_id": F.upper("conv_id")},
         )
+
+
+def test_gone_group_read_is_bucket_pruned(spark, base, tmp_path):
+    """Gone-group detection must read only the MV files of the buckets the
+    touched keys hash to, not the whole MV — at 10^8 groups the full-MV
+    scan per refresh cycle was the remaining O(table) term."""
+    seed(spark, base, n_convs=16)
+    mv = mv_of(base, tmp_path)
+    mv.refresh()
+    touched = spark.createDataFrame([("c3",)], "conv_id string")
+    prev = mv._read_prev_groups(touched)
+    opened = set(prev.inputFiles())
+    live, _, _ = mv.table._state()
+    assert 0 < len(opened) < len(live), (len(opened), len(live))
+    # the pruned read still surfaces the touched key's previous group
+    assert "c3" in {r.conv_id for r in prev.collect()}
+    # and an end-to-end refresh over a touched key stays correct
+    base.merge(edf(spark, [ev("c3", 9, "late", 9000)]), "b2")
+    st = mv.refresh()
+    assert st.partial
+    assert_mv_equals_full(mv, base)
+
+
+def test_null_payload_group_survives_refresh(spark, base, tmp_path):
+    """A group with NULL in a payload group column must match its own
+    recomputed row (null-safe equality): with plain equality it was
+    classified gone on every refresh, merging a delete AND an upsert at
+    the same mv_version — an arbitrary LWW winner that could
+    nondeterministically drop the live group."""
+    from pyspark.sql import Row
+
+    def mk(conv, turn, role, t):
+        return Row(conv_id=conv, turn_idx=turn, role=role, text="x",
+                   tool=None, ts=ts(t), op="upsert", _src_file="f",
+                   _src_offset=t)
+
+    base.merge(edf(spark, [
+        mk("c1", 0, None, 1),    # NULL-role group
+        mk("c1", 1, "user", 2),
+    ]), "b1")
+    mv = IncrementalRollup(
+        base, str(tmp_path / "mv"), group_cols=["conv_id", "role"],
+        aggs={"n": F.count(F.lit(1))}, n_buckets=4,
+    )
+    mv.refresh()
+    # touch the same conversation repeatedly: each refresh re-evaluates
+    # the NULL-role group; it must never be tombstoned while live
+    for i in range(3):
+        base.merge(edf(spark, [mk("c1", 1, "user", 100 + i)]), f"b{2 + i}")
+        st = mv.refresh()
+        assert st.n_groups_deleted == 0, f"round {i}: live NULL group deleted"
+        got = {(r.conv_id, r.role): r.n for r in mv.read().collect()}
+        assert got == {("c1", None): 1, ("c1", "user"): 1}
