@@ -960,6 +960,11 @@ def read_avro_python(
             avro_to_spark_schema(reader_schema) if reader_schema else T.StructType([])
         )
         return spark.createDataFrame([], _with_lineage(base))
+    # a caller-supplied Spark schema is a CAST spec (from_json coerces e.g.
+    # a string ts column into TimestampType); a schema derived from the
+    # avro writer/reader schema types the decoded values exactly, so those
+    # reads can skip the JSON round-trip (typed Arrow fast path below)
+    declared_cast = schema is not None
     if schema is None:
         if reader_schema is not None:
             schema = avro_to_spark_schema(reader_schema)
@@ -971,6 +976,89 @@ def read_avro_python(
 
     files_df = read_whole_files(spark, items)
 
+    def _decode(src, content):
+        """parse + per-file reader-schema resolution, poison-tolerant:
+        a corrupt container (bad magic, torn block, codec error) is
+        skipped with a warning — one poison file must not stall the
+        pipeline; a schema-RESOLUTION error still raises loudly (a wrong
+        reader schema is a configuration problem)."""
+        try:
+            writer_schema, records = parse_container(bytes(content))
+        except Exception as e:
+            import sys
+
+            print(
+                f"kcfs: skipping corrupt avro container {src}: {e}",
+                file=sys.stderr,
+            )
+            return None
+        if reader_schema is not None:
+            # per-file resolution: defaults apply against THIS file's
+            # writer schema (mixed-generation directories resolve
+            # file-by-file, like the reference's reader)
+            records = resolve_records(records, writer_schema, reader_schema)
+        return records
+
+    if not declared_cast:
+        # typed Arrow fast path: the schema was derived from the avro
+        # writer/reader schema, so the decoded Python values already have
+        # the declared types — emit them straight through the mapInPandas
+        # Arrow boundary. The former shape (records → json.dumps → JVM
+        # from_json) serialized every value twice and paid a from_json
+        # codegen per query (guide §4: one boundary crossing, no re-parse).
+        # ``_shape`` projects each record onto the declared schema exactly
+        # like from_json did: missing fields null-fill, extra writer
+        # fields drop, recursively.
+        out_schema = T.StructType(
+            [
+                T.StructField("_src_file", T.StringType(), False),
+                T.StructField("_src_offset", T.LongType(), False),
+                *[T.StructField(f.name, f.dataType, True) for f in schema.fields],
+            ]
+        )
+
+        def _shape(v, dtype):
+            if v is None:
+                return None
+            if isinstance(dtype, T.StructType):
+                if not isinstance(v, dict):
+                    return None
+                return {
+                    f.name: _shape(v.get(f.name), f.dataType) for f in dtype.fields
+                }
+            if isinstance(dtype, T.ArrayType):
+                if not isinstance(v, list):
+                    return None
+                return [_shape(x, dtype.elementType) for x in v]
+            if isinstance(dtype, T.MapType):
+                if not isinstance(v, dict):
+                    return None
+                return {k: _shape(x, dtype.valueType) for k, x in v.items()}
+            return v
+
+        def to_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            fields = [(f.name, f.dataType) for f in schema.fields]
+            for pdf in batches:
+                for src, content in zip(pdf["_src_file"], pdf["content"]):
+                    records = _decode(src, content)
+                    if not records:
+                        continue
+                    data = {
+                        "_src_file": [src] * len(records),
+                        "_src_offset": [0] * len(records),
+                    }
+                    for name, dtype in fields:
+                        data[name] = [_shape(r.get(name), dtype) for r in records]
+                    yield pd.DataFrame(data)
+
+        out = files_df.mapInPandas(to_rows, out_schema)
+        if columns:
+            out = out.select("_src_file", "_src_offset", *columns)
+        return out
+
+    # caller-declared Spark schema: from_json is the CAST spec (e.g. a
+    # string ts column lands as TimestampType) — keep the JSON path so its
+    # lenient coercion semantics stay exactly as documented
     def to_json(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import base64
 
@@ -992,24 +1080,9 @@ def read_avro_python(
         for pdf in batches:
             rows = []
             for src, content in zip(pdf["_src_file"], pdf["content"]):
-                try:
-                    writer_schema, records = parse_container(bytes(content))
-                except Exception as e:
-                    # poison tolerance, same policy as the other whole-file
-                    # parsers: one corrupt container (bad magic, torn block,
-                    # codec error) must not stall the pipeline forever
-                    import sys
-
-                    print(
-                        f"kcfs: skipping corrupt avro container {src}: {e}",
-                        file=sys.stderr,
-                    )
+                records = _decode(src, content)
+                if not records:
                     continue
-                if reader_schema is not None:
-                    # per-file resolution: defaults apply against THIS
-                    # file's writer schema (mixed-generation directories
-                    # resolve file-by-file, like the reference's reader)
-                    records = resolve_records(records, writer_schema, reader_schema)
                 for i, rec in enumerate(records):
                     rows.append((src, 0, len(content), i, json.dumps(jsonable(rec))))
             if rows:
