@@ -111,8 +111,22 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _shingle_array(text_col: str, k: int) -> Column:
+    """Per-row array of DISTINCT k-word shingles (lower-cased,
+    space-tokenized) — the shared map-side basis of shingles() and
+    minhash_signatures(). array_distinct inside the row gives set
+    semantics without any shuffle."""
+    w = F.split(F.lower(F.col(text_col)), " ")
+    # guard short docs: sequence(1, 0) would be DESCENDING [1, 0] in Spark
+    idx = F.when(
+        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    return F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+
+
 def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (lower-cased, space-tokenized).
+    """Distinct k-word shingles per document, one row per (doc, shingle).
 
     SQL twin: UNNEST(generate_series(...)) over string_split — identical
     shingle strings by construction.
@@ -124,18 +138,9 @@ def shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: i
     full text payloads unless the alternative is idle executors).
     """
     df = _widen_degenerate_scan(df)
-    w = F.split(F.lower(F.col(text_col)), " ")
-    # guard short docs: sequence(1, 0) would be DESCENDING [1, 0] in Spark
-    idx = F.when(
-        F.size(w) >= k, F.sequence(F.lit(1), F.size(w) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
-    # per-doc set semantics map-side: array_distinct inside the row removes
-    # the (doc_id, shingle) distinct SHUFFLE a post-explode .distinct()
-    # would cost — the widest data in the pipeline never shuffles for
-    # dedupe (it still shuffles once, on the consumer's own key)
-    sh = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+    return df.select(
+        F.col(id_col), F.explode(_shingle_array(text_col, k)).alias("shingle")
+    )
 
 
 def minhash_signatures(sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id") -> DataFrame:
@@ -145,7 +150,14 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8, id_col: str = "doc_id")
     seed-explode (which would multiply the shuffle by n_hashes), full
     map-side partial aggregation. At 10^9 docs this is the difference
     between shuffling |shingles| and |shingles|×n_hashes rows.
-    """
+
+    Kept as explode + groupBy deliberately: an r6 experiment moved the
+    whole signature map-side (array_min over transform(shingle_array))
+    and measured 3-4× SLOWER — higher-order functions are not whole-stage
+    codegen'd, and Catalyst's project collapsing re-evaluates the shingle
+    pipeline inside every one of the n_hashes expressions. The exploded
+    aggregate runs in codegen'd hash-agg with map-side partials, so the
+    shuffle carries one signature row per doc either way."""
     aggs = [
         F.min(F.md5(F.concat_ws("#", F.col("shingle"), F.lit(str(s))))).alias(f"h{s}")
         for s in range(n_hashes)
