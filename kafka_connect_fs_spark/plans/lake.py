@@ -583,21 +583,63 @@ class LakeTable:
         while events that genuinely arrive later still supersede it —
         point-in-time delete semantics, not a permanent key ban.
 
-        ``needed_columns``: the columns ``condition`` references —
-        passing them lets the matching scan prune to just those plus
-        keys/ts (see read(columns=...)); without it the match reads the
-        full row. Runs through merge(), so it inherits idempotent
+        ``needed_columns``: the columns ``condition`` references. When
+        omitted they are DERIVED from the condition's expression tree
+        (resolved against the current schema), so the matching scan
+        prunes to just those plus keys/ts by default (see
+        read(columns=...)) — a retention cron gets the pruned parquet
+        ReadSchema without the caller having to spell the columns out.
+        Pass them explicitly to override; derivation failure falls back
+        to the full row. Runs through merge(), so it inherits idempotent
         batch_id replay and the commit-race retry.
 
         Returns None (no commit) when the table has never been written —
         a retention cron against a fresh table is a no-op, not a crash.
-        Requires a timestamp or numeric ``ts_col``: a string ts has no
-        type-safe "+1 tick" (string + 1 casts to double and yields NULL
-        tombstone timestamps that silently LOSE the LWW they must win)."""
+        Requires a timestamp or INTEGRAL/decimal ``ts_col``: a string ts
+        has no type-safe "+1 tick" (string + 1 casts to double and
+        yields NULL tombstone timestamps that silently LOSE the LWW they
+        must win), and for float/double ts the +1 is wrong twice over —
+        it out-ranks genuinely-later events within 1 unit, and at large
+        magnitudes ts+1 == ts (precision-absorbed), so the tombstone
+        ties/loses LWW and the delete silently fails."""
+        tombstones = self._delete_tombstones(condition, needed_columns)
+        if tombstones is None:
+            return None  # never-written (or fully vacuumed) table
+        return self.merge(tombstones, batch_id=batch_id)
+
+    def _referenced_columns(self, cond) -> list[str] | None:
+        """Column names a filter Column references, resolved against the
+        current table schema (None when resolution fails — the caller
+        then reads the full row). Driver-side only: the probe frame is an
+        empty local relation, no job runs."""
+        try:
+            schema = self.current_schema()
+            if schema is None:
+                return None
+            probe = self.spark.createDataFrame([], schema).filter(cond)
+            refs = (
+                probe._jdf.queryExecution()
+                .analyzed()
+                .expressions()
+                .apply(0)
+                .references()
+                .toList()
+            )
+            return [refs.apply(i).name() for i in range(refs.size())]
+        except Exception:
+            return None
+
+    def _delete_tombstones(
+        self, condition, needed_columns: Sequence[str] | None = None
+    ) -> DataFrame | None:
+        """The tombstone frame delete_where merges (exposed separately so
+        tests can assert the match scan's pruned ReadSchema)."""
         live, _, _ = self._state()
         if not live:
-            return None  # never-written (or fully vacuumed) table
+            return None
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if needed_columns is None:
+            needed_columns = self._referenced_columns(cond)
         cols = None
         if needed_columns is not None:
             cols = list(dict.fromkeys([*needed_columns, *self.keys, self.ts_col]))
@@ -605,23 +647,23 @@ class LakeTable:
         ts_type = dict(snap.dtypes)[self.ts_col]
         if ts_type.startswith("timestamp"):
             bump = F.expr("INTERVAL 1 MICROSECOND")
-        elif ts_type in ("int", "bigint", "smallint", "tinyint", "long",
-                         "double", "float", "decimal") or ts_type.startswith(
-            "decimal"
+        elif ts_type in ("int", "bigint", "smallint", "tinyint", "long") or (
+            ts_type.startswith("decimal")
         ):
             bump = F.lit(1)
         else:
             raise ValueError(
-                f"delete_where needs a timestamp or numeric ts column to "
-                f"bump past the matched row; ts_col {self.ts_col!r} is "
-                f"{ts_type!r} — write explicit tombstones via merge() instead"
+                f"delete_where needs a timestamp or numeric (integral/"
+                f"decimal, not float — ts+1 is precision-absorbed at large "
+                f"magnitudes) ts column to bump past the matched row; "
+                f"ts_col {self.ts_col!r} is {ts_type!r} — write explicit "
+                f"tombstones via merge() instead"
             )
-        tombstones = snap.select(
+        return snap.select(
             *self.keys,
             (F.col(self.ts_col) + bump).alias(self.ts_col),
             F.lit("delete").alias(_OP_COL),
         )
-        return self.merge(tombstones, batch_id=batch_id)
 
     def read_range(
         self, ts_from=None, ts_to=None, columns: Sequence[str] | None = None

@@ -181,7 +181,11 @@ def q_ingest_e2e_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     (
-        jsonl.repartitionByRange(4, "event_id")
+        # 16 range partitions: the synth write AND the engine's scan both
+        # parallelize 4× vs the former 4-file layout; ranges ascend with
+        # the part-file index, so lexicographic (src_file, src_offset)
+        # still equals event_id order and the LWW tie-break is unchanged
+        jsonl.repartitionByRange(16, "event_id")
         .sortWithinPartitions("event_id")
         .drop("event_id")
         .write.mode("overwrite")

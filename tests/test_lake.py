@@ -1280,6 +1280,45 @@ def test_read_range_empty_window_keeps_projection_contract(spark, mor_table):
         t.read_range(ts_from=ts(10**6), ts_to=ts(10**6 + 1), columns=["nope"])
 
 
+def test_delete_where_derives_needed_columns(spark, mor_table):
+    """Without needed_columns, the predicate's referenced columns are
+    derived from the expression tree: the match scan's parquet ReadSchema
+    must carry only role + keys + ts — never text/tool (the retention
+    cron gets the pruned scan by default, VERDICT r5 item 7)."""
+    t = mor_table
+    t.merge(edf(spark, [ev("a", 0, "x", 1), ev("b", 0, "y", 2)]), "b1")
+    assert sorted(t._referenced_columns(F.col("role") == "user")) == ["role"]
+    tomb = t._delete_tombstones(F.col("role") == "user")
+    plan = tomb._jdf.queryExecution().executedPlan().toString()
+    read_schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schemas, plan
+    for ln in read_schemas:
+        assert "text" not in ln and "tool" not in ln, ln
+        assert "role" in ln and "conv_id" in ln and "ts" in ln, ln
+    # end-to-end: the derived pruning changes nothing about WHAT deletes
+    c = t.delete_where(F.col("role") == "user", batch_id="p1")
+    assert c.metrics["rows_written"] == 2
+    assert t.read().count() == 0
+
+
+def test_delete_where_rejects_float_ts(spark, tmp_path):
+    """A float/double ts has no safe +1 tick either: it out-ranks
+    genuinely-later events within 1 unit, and at large magnitudes
+    ts+1 == ts (precision-absorbed) so the tombstone ties/loses the LWW
+    it must win — refuse loudly instead of silently failing deletes."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "fl"), keys=["k"], ts_col="ts",
+        n_buckets=2, merge_mode="mor",
+    )
+    t.merge(
+        spark.createDataFrame([("a", 2.0, "v")],
+                              "k string, ts double, text string"),
+        "b1",
+    )
+    with pytest.raises(ValueError, match="timestamp or numeric"):
+        t.delete_where("text = 'v'")
+
+
 def test_delete_where_rejects_string_ts(spark, tmp_path):
     """A string ts has no type-safe +1 tick (string + 1 → NULL tombstone
     ts that silently LOSES LWW) — delete_where must refuse loudly."""
