@@ -1441,18 +1441,57 @@ class LakeTable:
         expired = snap.filter(
             (F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than))
         )
-        buckets = [r[0] for r in expired.select(_BUCKET_COL).distinct().collect()]
-        if not buckets:
-            return None
         # one snapshot drives files AND version (see _merge_persisted):
         # a concurrent commit after this point surfaces as
         # ConcurrentCommitError instead of being silently overwritten
         st = self._state_full()
         nb = self.n_buckets
-        # selection by stored bucket id catches every file holding an
-        # expired tombstone under ANY scheme (stored == manifest bucket);
-        # same-id files of other schemes ride along harmlessly
-        old_files = [p for p, a in st.live.items() if a["bucket"] in buckets]
+        default = self._base_n_buckets
+        live_schemes = {a.get("scheme", default) for a in st.live.values()}
+        if len(live_schemes) > 1:
+            # bucket-spec transition: a tombstoned key's OTHER versions can
+            # live in files of another scheme whose bucket id (hash under
+            # that scheme) differs from the tombstone file's stored id —
+            # selecting by stored id alone would skip them, and dropping
+            # the tombstone would resurrect those losers at read time
+            # (e.g. a late upsert landing post-evolution in bucket h%13
+            # while the expired tombstone sits pre-evolution in h%8).
+            # Compute the expired keys' buckets under EVERY live scheme
+            # (one small distinct aggregate, ≤ n_buckets ints per scheme,
+            # same shape as _merge_persisted's aff_by_scheme) and rewrite
+            # all of those files; the resolve below removes the losers in
+            # the same pass.
+            kc = self.keys[0]
+            row = (
+                expired.select(kc)
+                .distinct()
+                .agg(
+                    *[
+                        F.collect_set(
+                            F.pmod(F.xxhash64(F.col(kc)), F.lit(s)).cast("int")
+                        ).alias(f"s{s}")
+                        for s in sorted(live_schemes)
+                    ]
+                )
+                .collect()[0]
+            )
+            by_scheme = {s: set(row[f"s{s}"]) for s in live_schemes}
+            buckets = sorted(set().union(*by_scheme.values()))
+            if not buckets:
+                return None
+            old_files = [
+                p
+                for p, a in st.live.items()
+                if a["bucket"] in by_scheme[a.get("scheme", default)]
+            ]
+        else:
+            # single scheme: the stored bucket id IS hash % scheme
+            buckets = [
+                r[0] for r in expired.select(_BUCKET_COL).distinct().collect()
+            ]
+            if not buckets:
+                return None
+            old_files = [p for p, a in st.live.items() if a["bucket"] in buckets]
         df = self._resolve(self._read_files(old_files)).filter(
             ~((F.col(_OP_COL) == "delete") & (F.col(self.ts_col) < F.lit(older_than)))
         )

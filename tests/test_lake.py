@@ -1166,6 +1166,37 @@ def test_expire_tombstones_across_schemes(spark, tmp_path):
     assert {r.text for r in t.read_key("keep").collect()} == {"alive"}
 
 
+def test_expire_tombstones_cross_scheme_versions_of_one_key(spark, tmp_path):
+    """During a bucket-spec transition a tombstoned key's LOSER versions
+    can sit in files of the OTHER scheme, whose bucket id (hash under
+    that scheme) differs from the tombstone file's stored id. Expiry must
+    rewrite those files too: dropping the tombstone while a loser upsert
+    survives in an unselected file would resurrect the deleted key at
+    read time."""
+    from kafka_connect_fs_spark.functions.hashing import spark_xxhash64
+
+    h = spark_xxhash64("gone", 8)
+    assert h % 8 != h % 13  # the scenario requires differing bucket ids
+    t = LakeTable.create(
+        spark, str(tmp_path / "xs"), keys=["conv_id", "turn_idx"],
+        ts_col="ts", n_buckets=8, merge_mode="mor",
+    )
+    t.merge(edf(spark, [ev("gone", 0, "v1", 1)]), "b0")
+    t.merge(edf(spark, [ev("gone", 0, None, 20, op="delete")]), "b1")
+    t.set_n_buckets(13)
+    # late upsert with ts BETWEEN v1 and the tombstone lands
+    # post-evolution: scheme-13 file, bucket h%13 != the tombstone's h%8
+    t.merge(edf(spark, [ev("gone", 0, "late-loser", 15)]), "b2")
+    assert t.read().where("conv_id = 'gone'").count() == 0  # delete holds
+    c = t.expire_tombstones(ts(100))
+    assert c is not None
+    # the loser was removed in the same rewrite — no resurrection
+    assert t.read().where("conv_id = 'gone'").count() == 0
+    live, _, _ = t._state()
+    for a in live.values():
+        assert a.get("scheme") in (8, 13)
+
+
 def test_set_n_buckets_validates(spark, tmp_path):
     t = LakeTable.create(
         spark, str(tmp_path / "val"), keys=["conv_id", "turn_idx"],
