@@ -77,6 +77,18 @@ class CobolOptions:
         self.float_format = str(o.get("floating_point_format", "ibm"))
         self.debug = str(o.get("debug_fields_policy", "none")) == "raw"
         self.split_size_mb = float(o.get("input_split_size_mb", 64))
+        # ODO counter outside [min, max] = stream desync (corruption or a
+        # wrong copybook). "warn": stop framing the split there, emit the
+        # pre-desync records, warn on executor stderr (pair-programming /
+        # ad-hoc reads). "error": raise, failing the read loudly — under
+        # the ingest engine this fails the batch so the operator SEES the
+        # stuck file instead of the engine silently committing the full
+        # snapshot length and skipping the unread remainder forever.
+        self.on_desync = str(o.get("on_desync", "warn"))
+        if self.on_desync not in ("warn", "error"):
+            raise ValueError(
+                f"on_desync must be 'warn' or 'error', got {self.on_desync!r}"
+            )
 
 
 def _bool(v) -> bool:
@@ -195,6 +207,7 @@ def read_cobol(
                     recs, offsets = _frame_odo(
                         raw, lrecl, odo_meta, odo_base_size, base=start,
                         emit_from=int(row.emit_from), src=path,
+                        on_desync=opts.on_desync,
                     )
                 else:
                     n = len(raw) // lrecl
@@ -319,6 +332,7 @@ def _frame_odo(
     base: int,
     emit_from: int = 0,
     src: str = "",
+    on_desync: str = "warn",
 ) -> tuple[bytes, list[int]]:
     """Frame back-to-back variable-length OCCURS DEPENDING ON records:
     each record's on-disk length is ``base_size - Σ_j (max_j - count_j)
@@ -350,13 +364,20 @@ def _frame_odo(
             c = int(m["reader"](raw, pos, shift))
             if c < m["min_occurs"] or c > m["max_occurs"]:
                 bad = True
+                msg = (
+                    f"kcfs: ODO counter {c} outside "
+                    f"[{m['min_occurs']}, {m['max_occurs']}] at "
+                    f"{src}:{base + pos} — corrupt data or wrong copybook"
+                )
+                if on_desync == "error":
+                    # loud failure: the task (and the engine batch) fails,
+                    # so the desynced file surfaces to the operator instead
+                    # of the remainder being silently skipped
+                    raise ValueError(msg)
                 import sys
 
                 print(
-                    f"kcfs: ODO counter {c} outside "
-                    f"[{m['min_occurs']}, {m['max_occurs']}] at "
-                    f"{src}:{base + pos} — stopping framing for this "
-                    "split (corrupt data or wrong copybook)",
+                    msg + "; stopping framing for this split",
                     file=sys.stderr,
                 )
                 break

@@ -1259,3 +1259,29 @@ def test_frame_odo_out_of_range_counter_stops_framing(spark, tmp_path, capfd):
     opts = {"copybook_content": ODO_CPY, "schema_policy": "collapse_root"}
     rows = read_cobol(spark, [item(p)], opts).collect()
     assert [r.CNT for r in rows] == [2]  # only the pre-desync record
+
+
+def test_frame_odo_on_desync_error_raises_loudly(spark, tmp_path):
+    """ADVICE r5: with on_desync='error' the desync fails the read loudly
+    (under the ingest engine: the batch fails and the operator sees the
+    stuck file) instead of an executor stderr line while the remainder is
+    silently skipped."""
+    from pyspark.errors.exceptions.base import PySparkException
+
+    recs = [
+        _odo_record(2, [111, 222], "AB"),
+        (f"{9:02d}" + "999" + "XX").encode("cp037"),  # counter 9 > max 4
+    ]
+    p = str(tmp_path / "bad2.dt")
+    with open(p, "wb") as f:
+        f.write(b"".join(recs))
+    opts = {
+        "copybook_content": ODO_CPY,
+        "schema_policy": "collapse_root",
+        "on_desync": "error",
+    }
+    with pytest.raises(PySparkException, match="ODO counter 9 outside"):
+        read_cobol(spark, [item(p)], opts).collect()
+    with pytest.raises(ValueError, match="on_desync"):
+        read_cobol(spark, [item(p)], {"copybook_content": ODO_CPY,
+                                      "on_desync": "bogus"})
