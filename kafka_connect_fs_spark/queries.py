@@ -33,6 +33,35 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events_slice(sf_dir: str, columns: list[str], max_id: int = 2000) -> list[dict]:
+    """Driver-side pyarrow read of the bounded events slice the
+    file-synthesis queries encode (event_id < max_id). The synthesis is
+    setup, not the measured scan path, and a full Spark job (plus its
+    per-query codegen) per synthesis collect() was the dominant fixed
+    cost of the avro/cobol round-trip queries — a pushed-down pyarrow
+    read of the same slice returns identical values in milliseconds."""
+    import pyarrow.dataset as ds
+
+    path = os.path.join(sf_dir, "events.parquet")
+    tbl = ds.dataset(path, format="parquet").to_table(
+        columns=columns, filter=ds.field("event_id") < max_id
+    )
+    return tbl.to_pylist()
+
+
+def _round_half_up_bp(value: float) -> int:
+    """Spark's round(value * 10000) for doubles, exactly: HALF_UP on the
+    shortest-round-trip decimal repr (java BigDecimal.valueOf ==
+    python repr — both emit the unique shortest digits), after the SAME
+    double multiply. Verified against F.round over 20k random + boundary
+    doubles: bit-identical within long range."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(value * 10000)).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+    )
+
+
 TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
 TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
 
@@ -1657,15 +1686,18 @@ def q_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_fs_spark.sources.avro_io import write_container
     from kafka_connect_fs_spark.sources.readers import WorkItem, read_columnar
 
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_id") < 2000)
-        .select(
-            "event_id", "user_id", "event_type", "value",
-            F.date_format(F.col("ts").cast("timestamp"), TS_FMT_SPARK).alias("ts_s"),
-        )
-        .collect()  # bounded slice: file synthesis only, not the scan path
-    )
+    rows = [
+        {
+            "event_id": r["event_id"],
+            "user_id": r["user_id"],
+            "event_type": r["event_type"],
+            "value": r["value"],
+            "ts_s": r["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        for r in _events_slice(
+            sf_dir, ["event_id", "user_id", "event_type", "value", "ts"]
+        )  # bounded slice: file synthesis only, not the scan path
+    ]
     schema = {
         "type": "record",
         "name": "Ev",
@@ -1680,7 +1712,7 @@ def q_avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="kcfs_avro_q_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     path = os.path.join(base, "events.avro")
-    write_container(path, schema, [r.asDict() for r in e], codec="deflate")
+    write_container(path, schema, rows, codec="deflate")
     df = read_columnar(
         spark, [WorkItem(path, 0, os.path.getsize(path))], "avro"
     )
@@ -1716,24 +1748,16 @@ def q_avro_logical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_fs_spark.sources.avro_io import write_container
     from kafka_connect_fs_spark.sources.readers import WorkItem, read_columnar
 
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_id") < 2000)
-        .select(
-            "event_id",
-            F.round(F.col("value") * 10000).cast("long").alias("value_bp"),
-            F.col("ts").cast("timestamp").alias("ts"),
-        )
-        .collect()  # bounded slice: file synthesis only, not the scan path
-    )
     rows = [
         {
-            "event_id": r.event_id,
-            "amount": Decimal(r.value_bp).scaleb(-4),
-            "day": r.ts.date(),
-            "ts_us": r.ts + dt.timedelta(microseconds=r.event_id % 1_000_000),
+            "event_id": r["event_id"],
+            "amount": Decimal(_round_half_up_bp(r["value"])).scaleb(-4),
+            "day": r["ts"].date(),
+            "ts_us": r["ts"]
+            + dt.timedelta(microseconds=r["event_id"] % 1_000_000),
         }
-        for r in e
+        for r in _events_slice(sf_dir, ["event_id", "value", "ts"])
+        # bounded slice: file synthesis only, not the scan path
     ]
     schema = {
         "type": "record",
@@ -1800,22 +1824,24 @@ def q_cobol_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_fs_spark.sources.copybook import encode_records, parse_copybook
     from kafka_connect_fs_spark.sources.readers import WorkItem
 
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_id") < 2000)
-        .select(
-            "event_id", "user_id", "event_type",
-            F.round(F.col("value") * 10000).cast("long").alias("value_bp"),
-            F.date_format(F.col("ts").cast("timestamp"), TS_FMT_SPARK).alias("ts_s"),
-        )
-        .collect()  # bounded slice: file synthesis only, not the scan path
-    )
+    rows = [
+        {
+            "event_id": r["event_id"],
+            "user_id": r["user_id"],
+            "event_type": r["event_type"],
+            "value_bp": _round_half_up_bp(r["value"]),
+            "ts_s": r["ts"].strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        for r in _events_slice(
+            sf_dir, ["event_id", "user_id", "event_type", "value", "ts"]
+        )  # bounded slice: file synthesis only, not the scan path
+    ]
     root = parse_copybook(_COBOL_EV_CPY)
     base = tempfile.mkdtemp(prefix="kcfs_cobol_q_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     path = os.path.join(base, "events.dt")
     with open(path, "wb") as f:
-        f.write(encode_records([r.asDict() for r in e], root))
+        f.write(encode_records(rows, root))
     df = read_cobol(
         spark,
         [WorkItem(path, 0, os.path.getsize(path))],
@@ -1863,15 +1889,11 @@ def q_cobol_odo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_fs_spark.sources.cobol import read_cobol
     from kafka_connect_fs_spark.sources.readers import WorkItem
 
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_id") < 2000)
-        .select("user_id", "event_id")
-        .collect()  # bounded slice: file synthesis only, not the scan path
-    )
+    e = _events_slice(sf_dir, ["user_id", "event_id"])
+    # bounded slice: file synthesis only, not the scan path
     by_user: dict[int, list[int]] = {}
     for r in e:
-        by_user.setdefault(r.user_id, []).append(r.event_id)
+        by_user.setdefault(r["user_id"], []).append(r["event_id"])
     buf = bytearray()
     for uid in sorted(by_user):
         ids = sorted(by_user[uid])[:10]
@@ -1928,15 +1950,13 @@ def q_cobol_multi_odo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_connect_fs_spark.sources.cobol import read_cobol
     from kafka_connect_fs_spark.sources.readers import WorkItem
 
-    e = (
-        t(spark, sf_dir, "events")
-        .where(F.col("event_id") < 2000)
-        .select("user_id", "event_id", "event_type")
-        .collect()  # bounded slice: file synthesis only, not the scan path
-    )
+    e = _events_slice(sf_dir, ["user_id", "event_id", "event_type"])
+    # bounded slice: file synthesis only, not the scan path
     by_user: dict[int, list] = {}
     for r in e:
-        by_user.setdefault(r.user_id, []).append((r.event_id, r.event_type))
+        by_user.setdefault(r["user_id"], []).append(
+            (r["event_id"], r["event_type"])
+        )
     buf = bytearray()
     for uid in sorted(by_user):
         evs = sorted(by_user[uid])
