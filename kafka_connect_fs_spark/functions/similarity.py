@@ -37,6 +37,82 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _dot_norms_udf():
+    """Arrow-vectorized (dot, |a|, |b|) with the JVM fold's EXACT float
+    semantics: elementwise float64 products, then np.cumsum — a strictly
+    sequential left-to-right accumulation, bit-identical to
+    ``aggregate(zip_with(a, b, *), 0.0, +)`` — and a correctly-rounded
+    sqrt, identical on both sides. Only the final division (and round)
+    stays JVM-side, so 0-norm vectors keep Spark's NaN/Inf comparison
+    semantics unchanged. The interpreted higher-order-function fold this
+    replaces evaluated ~6 expression-tree nodes per vector element per
+    pair (guide §4.2: hand whole batches to vectorized native code).
+
+    Null semantics match the fold: a NULL vector, a NULL element (NaN
+    after Arrow transfer) or a length mismatch all yield NULL dot —
+    and NULL/x division then yields the same NULL cosine the zip_with
+    null-padding produced."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<dot: double, na: double, nb: double>")
+    def dn(a: pd.Series, b: pd.Series) -> pd.DataFrame:
+        n = len(a)
+        out_dot = [None] * n
+        out_na = [None] * n
+        out_nb = [None] * n
+        # group rows by (len_a, len_b) so each group is one 2-D matmul-
+        # shaped batch; mixed dims (rare) still vectorize per group
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (va, vb) in enumerate(zip(a, b)):
+            if va is None or vb is None:
+                continue
+            groups.setdefault((len(va), len(vb)), []).append(i)
+        for (la, lb), idx in groups.items():
+            A = np.asarray(
+                [np.asarray(a.iloc[i], dtype=np.float64) for i in idx]
+            )
+            B = np.asarray(
+                [np.asarray(b.iloc[i], dtype=np.float64) for i in idx]
+            )
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1]) if la else np.zeros(len(idx))
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1]) if lb else np.zeros(len(idx))
+            if la == lb and la:
+                d = np.cumsum(A * B, axis=1)[:, -1]
+            elif la == lb == 0:
+                d = np.zeros(len(idx))
+            else:
+                # zip_with pads the shorter side with nulls → null products
+                # → the JVM fold returns NULL
+                d = None
+            for j, i in enumerate(idx):
+                out_na[i] = float(na[j])
+                out_nb[i] = float(nb[j])
+                out_dot[i] = float(d[j]) if d is not None else None
+        return pd.DataFrame({"dot": out_dot, "na": out_na, "nb": out_nb})
+
+    return dn
+
+
+def with_cosine(df: DataFrame, va: str, vb: str, out: str = "cos_sim") -> DataFrame:
+    """``df`` + rounded exact cosine of the two array columns, computed
+    once through the Arrow-vectorized (dot, norms) UDF with the division
+    and round(4) JVM-side (identical values to the interpreted
+    zip_with/aggregate fold — pinned by tests — at a fraction of the
+    per-element cost)."""
+    dn = _dot_norms_udf()
+    return (
+        df.withColumn("_dn", dn(F.col(va), F.col(vb)))
+        .withColumn(
+            out,
+            F.round(
+                F.col("_dn.dot") / (F.col("_dn.na") * F.col("_dn.nb")), 4
+            ),
+        )
+        .drop("_dn")
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -53,7 +129,7 @@ def cosine_topk(
     scan of the corpus + per-partition top-k before the final shuffle.
     """
     pairs = queries.join(corpus, F.col(q_id) != F.col(n_id))
-    scored = pairs.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
+    scored = with_cosine(pairs, vec_q, vec_n)
     # rank on the ROUNDED similarity: cross-engine float drift (~1e-13) must
     # not flip the order of near-tied neighbors
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
@@ -140,7 +216,7 @@ def _exact_rerank(
     id pairs (query side broadcast — ANN query sets are small), exact
     cosine, deterministic top-k on the ROUNDED score."""
     cand = cand_ids.join(corpus, n_id).join(F.broadcast(queries), q_id)
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col(vec_q), F.col(vec_n)), 4))
+    scored = with_cosine(cand, vec_q, vec_n)
     w = Window.partitionBy(q_id).orderBy(F.desc("cos_sim"), F.asc(n_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -340,9 +416,5 @@ def embedding_near_pairs_lsh(
     )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    scored = (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-    )
+    scored = with_cosine(cand.join(va, "id_a").join(vb, "id_b"), "_va", "_vb")
     return scored.where(F.col("cos_sim") >= threshold).select("id_a", "id_b", "cos_sim")

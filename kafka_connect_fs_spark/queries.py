@@ -1371,7 +1371,7 @@ def q_dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    scored = pairs.withColumn("cos_sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+    scored = S.with_cosine(pairs, "va", "vb")
     return scored.where(F.col("cos_sim") >= 0.35).select("id_a", "id_b", "cos_sim")
 
 

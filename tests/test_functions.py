@@ -381,3 +381,52 @@ def test_widen_degenerate_inmemory_input_repartitions(spark):
         [(i, f"doc {i}") for i in range(100)], "doc_id int, text string"
     ).repartition(spark.sparkContext.defaultParallelism)
     assert _widen_degenerate_scan(wide) is wide
+
+
+def test_with_cosine_matches_jvm_fold_exactly(spark):
+    """The Arrow-vectorized (dot, norms) cosine must reproduce the
+    interpreted zip_with/aggregate fold EXACTLY — np.cumsum is the same
+    strictly-sequential left-to-right accumulation, so the values (not
+    just the rounded ones) may not drift. Checked over real embedding
+    pairs and over the null/length edge cases."""
+    from kafka_connect_fs_spark.functions import similarity as S
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = e.selectExpr("vec_id AS id_a", "embedding AS va").where("id_a < 60")
+    b = e.selectExpr("vec_id AS id_b", "embedding AS vb").where("id_b < 60")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    jvm = pairs.select(
+        "id_a", "id_b",
+        S.cosine(F.col("va"), F.col("vb")).alias("c"),
+        F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+    )
+    new_df = S.with_cosine(pairs, "va", "vb")
+    dn = S._dot_norms_udf()
+    new = new_df.withColumn("_dn", dn(F.col("va"), F.col("vb"))).select(
+        "id_a", "id_b",
+        (F.col("_dn.dot") / (F.col("_dn.na") * F.col("_dn.nb"))).alias("c"),
+        "cos_sim",
+    )
+    assert jvm.count() > 1000
+    assert jvm.exceptAll(new).count() == 0
+    assert new.exceptAll(jvm).count() == 0
+
+    # edge cases: null vector, empty arrays, mismatched lengths
+    edge = spark.createDataFrame(
+        [
+            ([1.0, 2.0], [3.0, 4.0]),
+            (None, [1.0, 2.0]),
+            ([1.0, 2.0], None),
+            ([], []),
+            ([1.0, 2.0, 3.0], [1.0, 2.0]),  # length mismatch -> NULL dot
+        ],
+        "va array<float>, vb array<float>",
+    )
+    jvm_e = [
+        r.c
+        for r in edge.select(
+            F.round(S.cosine(F.col("va"), F.col("vb")), 4).alias("c")
+        ).collect()
+    ]
+    new_e = [r.cos_sim for r in S.with_cosine(edge, "va", "vb").collect()]
+    assert jvm_e == new_e, (jvm_e, new_e)
