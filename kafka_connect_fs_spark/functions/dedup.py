@@ -281,9 +281,29 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # SHUFFLE_HASH with sizes as the build side, not planner choice: the
+    # pair-aggregate side's size estimate (two aggregations + a generate
+    # deep) is garbage, and at sf1 Catalyst chose to BROADCAST `inter` —
+    # an 8 GiB+ hashed relation that first exhausted the driver heap and
+    # then hit Spark's hard broadcast cap. Building per-partition hash
+    # tables of the doc-sized `sizes` relation is the strategy that holds
+    # at every scale: `inter` (pairs — the big side) streams, `sizes`
+    # partitions stay small, and no relation is ever broadcast (guide
+    # §3.1: force the strategy when you know the sizes; estimates after
+    # explodes/aggregates are often badly wrong).
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
-        .join(sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        inter.join(
+            sizes.select(
+                F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a")
+            ).hint("shuffle_hash"),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b")
+            ).hint("shuffle_hash"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard_bp",
             F.floor(

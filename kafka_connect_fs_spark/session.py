@@ -47,7 +47,14 @@ def get_spark(
         # footer statistics, which would disable LakeTable's per-file
         # [ts_min, ts_max] manifest stats and read_range file pruning
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # local mode shares ONE JVM heap between the driver and all 32
+        # task slots: at sf1 the ngram-jaccard window sort across 32
+        # concurrent tasks plus a broadcast build exhausted a 16g heap
+        # ("Not enough memory to build and broadcast"). 32g is headroom,
+        # not a reservation (-Xmx grows lazily; the sandbox has 128 GiB).
+        # On a real cluster driver and executor heaps are sized
+        # separately and this knob only covers the driver.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
